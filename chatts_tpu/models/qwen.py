@@ -1,0 +1,348 @@
+"""Qwen2 / Qwen3 dense decoder, functional JAX.
+
+The reference delegates the decoder to vLLM's Qwen2ForCausalLM /
+Qwen3ForCausalLM (reference: chatts/vllm/chatts_vllm.py:483-488,664-669).
+Here it is a first-party functional implementation: parameters are a plain
+pytree so sharding annotations (``chatts_tpu.parallel``), weight streaming,
+and Pallas kernel substitution all compose without framework glue.
+
+Architecture per HF Qwen2/Qwen3:
+  RMSNorm -> GQA attention (RoPE, qkv-bias for Qwen2 / per-head qk-RMSNorm for
+  Qwen3) -> RMSNorm -> SwiGLU MLP, residual around each; final RMSNorm; tied
+  or separate lm_head.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chatts_tpu.core.config import QwenConfig
+from chatts_tpu.ops.attention import attention
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    x = x * jax.lax.rsqrt(var + eps)
+    return (x * weight.astype(jnp.float32)).astype(dtype)
+
+
+def rope_cos_sin(
+    positions: jnp.ndarray, head_dim: int, theta: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables at the given positions; (B, T, head_dim) each, float32."""
+    half = head_dim // 2
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, half, dtype=jnp.float32) / half)
+    )
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # (B, T, half)
+    angles = jnp.concatenate([angles, angles], axis=-1)  # (B, T, D)
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(
+    x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+) -> jnp.ndarray:
+    """Rotate-half RoPE (HF/NeoX convention). x: (B, T, H, D)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    xf = x.astype(jnp.float32)
+    rf = rotated.astype(jnp.float32)
+    out = xf * cos[:, :, None, :] + rf * sin[:, :, None, :]
+    return out.astype(x.dtype)
+
+
+def _dense(x: jnp.ndarray, layer: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    out = jnp.dot(x, layer["kernel"], preferred_element_type=jnp.float32)
+    if "bias" in layer:
+        out = out + layer["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Decoder layer
+# ---------------------------------------------------------------------------
+
+def attention_block(
+    layer_params: Dict[str, Any],
+    x: jnp.ndarray,  # (B, T, hidden)
+    positions: jnp.ndarray,  # (B, T)
+    cfg: QwenConfig,
+    kv_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+    write_pos: Optional[jnp.ndarray],
+    kv_valid: jnp.ndarray,
+    kv_positions: jnp.ndarray,
+    attn_impl: str,
+) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
+    b, t, _ = x.shape
+    h, kvh, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    p = layer_params
+
+    q = _dense(x, p["q_proj"]).reshape(b, t, h, d)
+    k = _dense(x, p["k_proj"]).reshape(b, t, kvh, d)
+    v = _dense(x, p["v_proj"]).reshape(b, t, kvh, d)
+
+    if cfg.qk_norm:
+        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
+
+    cos, sin = rope_cos_sin(positions, d, cfg.rope_theta)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if kv_cache is not None:
+        k_cache, v_cache = kv_cache
+        if write_pos is None:
+            # Prefill: write the whole block at offset 0, but attend over the
+            # freshly computed T block only — no wasted FLOPs on the unused
+            # tail of the cache capacity.
+            k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, 0, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, 0, 0, 0))
+            k_full, v_full = k, v
+            attn_kv_valid = kv_valid[:, :t]
+            attn_kv_positions = kv_positions[:, :t]
+        else:
+            # Decode / chunked prefill: per-row scatter at write_pos (B, T),
+            # then attend over the whole cache.
+            batch_idx = jnp.arange(b)[:, None]
+            k_cache = k_cache.at[batch_idx, write_pos].set(k.astype(k_cache.dtype))
+            v_cache = v_cache.at[batch_idx, write_pos].set(v.astype(v_cache.dtype))
+            k_full, v_full = k_cache, v_cache
+            attn_kv_valid = kv_valid
+            attn_kv_positions = kv_positions
+        new_cache = (k_cache, v_cache)
+    else:
+        k_full, v_full = k, v
+        attn_kv_valid = kv_valid
+        attn_kv_positions = kv_positions
+        new_cache = None
+
+    out = attention(
+        q, k_full.astype(q.dtype), v_full.astype(q.dtype),
+        q_positions=positions,
+        kv_positions=attn_kv_positions,
+        kv_valid=attn_kv_valid,
+        scale=d ** -0.5,
+        impl=attn_impl,
+    )
+    out = out.reshape(b, t, h * d)
+    return _dense(out, p["o_proj"]), new_cache
+
+
+def mlp_block(layer_params: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
+    gate = _dense(x, layer_params["gate_proj"])
+    up = _dense(x, layer_params["up_proj"])
+    return _dense(jax.nn.silu(gate) * up, layer_params["down_proj"])
+
+
+def decoder_layer(
+    layer_params: Dict[str, Any],
+    x: jnp.ndarray,
+    positions: jnp.ndarray,
+    cfg: QwenConfig,
+    kv_cache,
+    write_pos,
+    kv_valid,
+    kv_positions,
+    attn_impl: str,
+):
+    attn_in = rms_norm(x, layer_params["input_layernorm"], cfg.rms_norm_eps)
+    attn_out, new_cache = attention_block(
+        layer_params["self_attn"], attn_in, positions, cfg,
+        kv_cache, write_pos, kv_valid, kv_positions, attn_impl,
+    )
+    x = x + attn_out
+    mlp_in = rms_norm(x, layer_params["post_attention_layernorm"], cfg.rms_norm_eps)
+    x = x + mlp_block(layer_params["mlp"], mlp_in)
+    return x, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(params["embed_tokens"], input_ids, axis=0)
+
+
+def forward(
+    params: Params,
+    cfg: QwenConfig,
+    inputs_embeds: jnp.ndarray,  # (B, T, hidden)
+    positions: jnp.ndarray,  # (B, T)
+    *,
+    kv_caches: Optional[List[Tuple[jnp.ndarray, jnp.ndarray]]] = None,
+    write_pos: Optional[jnp.ndarray] = None,
+    kv_valid: Optional[jnp.ndarray] = None,
+    kv_positions: Optional[jnp.ndarray] = None,
+    attn_impl: str = "auto",
+) -> Tuple[jnp.ndarray, Optional[List[Tuple[jnp.ndarray, jnp.ndarray]]]]:
+    """Run the decoder stack. Returns (hidden (B,T,H), updated kv caches).
+
+    Without a cache, attention is self-contained over the T block: kv_valid
+    and kv_positions default to the query's own positions.
+    """
+    b, t, _ = inputs_embeds.shape
+    if kv_caches is None:
+        if kv_valid is None:
+            kv_valid = jnp.ones((b, t), dtype=bool)
+        if kv_positions is None:
+            kv_positions = positions
+    else:
+        assert kv_valid is not None and kv_positions is not None
+
+    x = inputs_embeds
+    new_caches: Optional[List[Tuple[jnp.ndarray, jnp.ndarray]]] = (
+        [] if kv_caches is not None else None
+    )
+    for i, layer_params in enumerate(params["layers"]):
+        cache_i = kv_caches[i] if kv_caches is not None else None
+        x, new_cache = decoder_layer(
+            layer_params, x, positions, cfg,
+            cache_i, write_pos, kv_valid, kv_positions, attn_impl,
+        )
+        if new_caches is not None:
+            new_caches.append(new_cache)
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    return x, new_caches
+
+
+def compute_logits(params: Params, cfg: QwenConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    """hidden (B, T, H) -> logits (B, T, V), float32."""
+    if cfg.tie_word_embeddings or "lm_head" not in params:
+        table = params["embed_tokens"]
+        return jnp.dot(
+            hidden, table.T, preferred_element_type=jnp.float32
+        ).astype(jnp.float32)
+    return jnp.dot(
+        hidden, params["lm_head"], preferred_element_type=jnp.float32
+    ).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Parameter init / torch conversion
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: QwenConfig, key: jax.Array, dtype=None) -> Params:
+    """Random-init parameters (for tiny-random tests and profiling)."""
+    if dtype is None:
+        dtype = jnp.dtype(cfg.dtype)
+    h, kvh, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    hid = cfg.hidden_size
+
+    def dense(key, fan_in, fan_out, bias):
+        w = (jax.random.normal(key, (fan_in, fan_out)) / np.sqrt(fan_in)).astype(dtype)
+        out = {"kernel": w}
+        if bias:
+            out["bias"] = jnp.zeros((fan_out,), dtype)
+        return out
+
+    keys = iter(jax.random.split(key, cfg.num_hidden_layers * 7 + 3))
+    layers = []
+    for _ in range(cfg.num_hidden_layers):
+        layer = {
+            "input_layernorm": jnp.ones((hid,), dtype),
+            "post_attention_layernorm": jnp.ones((hid,), dtype),
+            "self_attn": {
+                "q_proj": dense(next(keys), hid, h * d, cfg.attention_bias),
+                "k_proj": dense(next(keys), hid, kvh * d, cfg.attention_bias),
+                "v_proj": dense(next(keys), hid, kvh * d, cfg.attention_bias),
+                "o_proj": dense(next(keys), h * d, hid, False),
+            },
+            "mlp": {
+                "gate_proj": dense(next(keys), hid, cfg.intermediate_size, False),
+                "up_proj": dense(next(keys), hid, cfg.intermediate_size, False),
+                "down_proj": dense(next(keys), cfg.intermediate_size, hid, False),
+            },
+        }
+        if cfg.qk_norm:
+            layer["self_attn"]["q_norm"] = jnp.ones((d,), dtype)
+            layer["self_attn"]["k_norm"] = jnp.ones((d,), dtype)
+        layers.append(layer)
+
+    params: Params = {
+        "embed_tokens": (
+            jax.random.normal(next(keys), (cfg.vocab_size, hid)) * 0.02
+        ).astype(dtype),
+        "layers": layers,
+        "norm": jnp.ones((hid,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = (
+            jax.random.normal(next(keys), (hid, cfg.vocab_size)) / np.sqrt(hid)
+        ).astype(dtype)
+    return params
+
+
+def load_torch_state_dict(
+    state_dict, cfg: QwenConfig, prefix: str = "model.", dtype=None
+) -> Params:
+    """Convert an HF torch state dict (values: numpy arrays) to our pytree.
+
+    HF names (reference weight-prefix contract: chatts_vllm.py:467-470):
+      model.embed_tokens.weight, model.layers.{i}.self_attn.{q,k,v,o}_proj.*,
+      model.layers.{i}.mlp.{gate,up,down}_proj.weight,
+      model.layers.{i}.{input,post_attention}_layernorm.weight,
+      model.norm.weight, lm_head.weight (absent when embeddings are tied —
+      reference: chatts_vllm.py:621-624).
+    """
+    if dtype is None:
+        dtype = jnp.dtype(cfg.dtype)
+
+    def get(name):
+        return np.asarray(state_dict[name])
+
+    def dense(name, bias):
+        out = {"kernel": jnp.asarray(get(name + ".weight").T, dtype)}
+        if bias and name + ".bias" in state_dict:
+            out["bias"] = jnp.asarray(get(name + ".bias"), dtype)
+        return out
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        lp = f"{prefix}layers.{i}."
+        layer = {
+            "input_layernorm": jnp.asarray(get(lp + "input_layernorm.weight"), dtype),
+            "post_attention_layernorm": jnp.asarray(
+                get(lp + "post_attention_layernorm.weight"), dtype
+            ),
+            "self_attn": {
+                "q_proj": dense(lp + "self_attn.q_proj", cfg.attention_bias),
+                "k_proj": dense(lp + "self_attn.k_proj", cfg.attention_bias),
+                "v_proj": dense(lp + "self_attn.v_proj", cfg.attention_bias),
+                "o_proj": dense(lp + "self_attn.o_proj", False),
+            },
+            "mlp": {
+                "gate_proj": dense(lp + "mlp.gate_proj", False),
+                "up_proj": dense(lp + "mlp.up_proj", False),
+                "down_proj": dense(lp + "mlp.down_proj", False),
+            },
+        }
+        if cfg.qk_norm:
+            layer["self_attn"]["q_norm"] = jnp.asarray(
+                get(lp + "self_attn.q_norm.weight"), dtype
+            )
+            layer["self_attn"]["k_norm"] = jnp.asarray(
+                get(lp + "self_attn.k_norm.weight"), dtype
+            )
+        layers.append(layer)
+
+    params: Params = {
+        "embed_tokens": jnp.asarray(get(prefix + "embed_tokens.weight"), dtype),
+        "layers": layers,
+        "norm": jnp.asarray(get(prefix + "norm.weight"), dtype),
+    }
+    if not cfg.tie_word_embeddings and "lm_head.weight" in state_dict:
+        params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype)
+    return params

@@ -1,0 +1,250 @@
+"""Host-side ChatTS processor: text + raw series -> static-shape device batch.
+
+Native implementation of the HF checkpoint's remote-code processor contract
+(reference: README.md:81-104, chatts/utils/inference_tsmllm_deepspeed.py:89-92)
+and of the vLLM placeholder-expansion plumbing
+(reference: chatts/vllm/chatts_vllm.py:369-444):
+
+1. Each ``<ts><ts/>`` hole in the prompt is prefixed by the sp-encoding echo
+   text ("[Value Offset: ...|Value Scaling: ...]") so raw values stay
+   answerable.
+2. The hole expands to ``ceil(L / patch_size)`` copies of the placeholder
+   token id ``ts_token_start_index`` followed by the ``<ts/>`` end-token id
+   (reference: chatts_vllm.py:402-415 — the processor-provided token run the
+   vLLM patch would otherwise pad out).
+3. Everything ragged is bucketed to static shapes on host: series length,
+   series count, and token length each round up to a small set of buckets so
+   ``jax.jit`` re-traces only per bucket, never per request.
+4. The (series, patch) -> (sequence, token) scatter map for the embedding
+   merge is computed here, so the device graph needs no dynamic indexing.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from chatts_tpu.core import encoding
+from chatts_tpu.core.config import ChatTSConfig
+
+DEFAULT_LEN_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+TOKEN_BUCKET_MULTIPLE = 128
+
+
+def bucket_series_len(n: int, buckets: Sequence[int] = DEFAULT_LEN_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return -(-n // buckets[-1]) * buckets[-1]
+
+
+def bucket_count(n: int) -> int:
+    """Round a count up to the next power of two (min 1)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+def bucket_tokens(n: int, multiple: int = TOKEN_BUCKET_MULTIPLE) -> int:
+    return max(multiple, -(-n // multiple) * multiple)
+
+
+@dataclasses.dataclass
+class ProcessedBatch:
+    """A fully padded, static-shape batch ready for the device."""
+
+    input_ids: np.ndarray  # (B, T) int32
+    attention_mask: np.ndarray  # (B, T) int32, 1 = real token
+    positions: np.ndarray  # (B, T) int32
+    seq_lens: np.ndarray  # (B,) int32
+    ts_values: np.ndarray  # (N, Lmax) float32
+    ts_mask: np.ndarray  # (N, Lmax) float32
+    scatter_seq: np.ndarray  # (N, Pmax) int32, OOB sentinel for padding
+    scatter_tok: np.ndarray  # (N, Pmax) int32
+    patch_cnt: np.ndarray  # (N,) int32
+    encoded_prompts: List[str]  # prompts with encoding echoes inserted
+    ts_metas: List[List[Dict[str, float]]]  # per-sample per-series sp meta
+
+    @property
+    def num_ts_tokens(self) -> int:
+        return int(self.patch_cnt.sum())
+
+    def to_model_kwargs(self) -> Dict[str, Any]:
+        return {
+            "input_ids": self.input_ids,
+            "ts_values": self.ts_values,
+            "ts_mask": self.ts_mask,
+            "scatter_seq": self.scatter_seq,
+            "scatter_tok": self.scatter_tok,
+        }
+
+
+class ChatTSProcessor:
+    """Tokenizer + TS-encoding front end.
+
+    ``tokenizer`` must expose ``encode(text, add_special_tokens=False) ->
+    list[int]`` (HF tokenizers qualify).  The ``<ts>``/``<ts/>`` token ids come
+    from the model config, not from tokenizer lookup, matching the reference's
+    ``config.ts_token_start_index`` contract (chatts_vllm.py:376).
+    """
+
+    def __init__(
+        self,
+        tokenizer,
+        config: ChatTSConfig,
+        encoding_method: str = "sp",
+        pad_token_id: Optional[int] = None,
+    ):
+        self.tokenizer = tokenizer
+        self.config = config
+        self.encoding_method = encoding_method
+        if pad_token_id is None:
+            pad_token_id = getattr(tokenizer, "pad_token_id", None)
+            if pad_token_id is None:
+                pad_token_id = getattr(tokenizer, "eos_token_id", 0) or 0
+        self.pad_token_id = int(pad_token_id)
+
+    # -- single prompt -----------------------------------------------------
+
+    def encode_prompt(self, text: str, timeseries: List[np.ndarray]):
+        """Returns (token_ids, series_list, per-series patch counts,
+        per-series placeholder start offsets, encoded text, metas)."""
+        cfg = self.config
+        parts = text.split(encoding.TS_PAIR)
+        if len(parts) - 1 != len(timeseries):
+            raise ValueError(
+                f"prompt has {len(parts) - 1} {encoding.TS_PAIR} holes but "
+                f"{len(timeseries)} series were given"
+            )
+        ids: List[int] = list(
+            self.tokenizer.encode(parts[0], add_special_tokens=False)
+        )
+        encoded_text = parts[0]
+        patch_cnts: List[int] = []
+        starts: List[int] = []
+        metas: List[Dict[str, float]] = []
+        series_arrays: List[np.ndarray] = []
+        for i, ts in enumerate(timeseries):
+            ts = np.asarray(ts, dtype=np.float64).reshape(-1)
+            if len(ts) > cfg.ts.max_sequence_length:
+                raise ValueError(
+                    f"series of length {len(ts)} exceeds max_sequence_length="
+                    f"{cfg.ts.max_sequence_length}"
+                )
+            if self.encoding_method == "sp":
+                enc, frag, meta = encoding.sp_encoding(ts)
+                values = enc.reshape(-1, 2)[:, 0]
+            else:
+                enc, frag, meta = encoding.timeseries_encoding(
+                    ts, self.encoding_method
+                )
+                values = np.asarray(enc).reshape(len(ts), -1)[:, 0]
+            series_arrays.append(values.astype(np.float32))
+            metas.append(meta)
+            # Echo text before the hole, then the expanded placeholder run.
+            echo = frag[: -len(encoding.TS_PAIR)]
+            if echo:
+                ids.extend(self.tokenizer.encode(echo, add_special_tokens=False))
+            pc = encoding.num_patches(len(ts), cfg.ts.patch_size)
+            starts.append(len(ids))
+            ids.extend([cfg.ts_token_start_index] * pc)
+            ids.append(cfg.ts_end_token_index)
+            patch_cnts.append(pc)
+            encoded_text += frag + parts[i + 1]
+            tail = self.tokenizer.encode(parts[i + 1], add_special_tokens=False)
+            ids.extend(tail)
+        return ids, series_arrays, patch_cnts, starts, encoded_text, metas
+
+    # -- batch -------------------------------------------------------------
+
+    def __call__(
+        self,
+        text: Sequence[str],
+        timeseries: Optional[Sequence[np.ndarray]] = None,
+        *,
+        pad_to_bucket: bool = True,
+    ) -> ProcessedBatch:
+        """Process a batch.
+
+        ``timeseries`` is the flat list of series across the whole batch in
+        prompt order, matching the reference processor's call convention
+        (reference: inference_tsmllm_deepspeed.py:76-89).
+        """
+        cfg = self.config
+        timeseries = list(timeseries or [])
+        per_sample: List[tuple] = []
+        cursor = 0
+        for t in text:
+            holes = t.count(encoding.TS_PAIR)
+            sample_ts = timeseries[cursor : cursor + holes]
+            cursor += holes
+            per_sample.append(self.encode_prompt(t, sample_ts))
+        if cursor != len(timeseries):
+            raise ValueError(
+                f"{len(timeseries)} series given but prompts consume {cursor}"
+            )
+
+        b = len(text)
+        max_tok = max(len(s[0]) for s in per_sample)
+        t_pad = bucket_tokens(max_tok) if pad_to_bucket else max_tok
+
+        all_series = [ts for s in per_sample for ts in s[1]]
+        n = len(all_series)
+        n_pad = bucket_count(n) if (pad_to_bucket and n) else max(n, 1)
+        max_len = max((len(ts) for ts in all_series), default=cfg.ts.patch_size)
+        l_pad = (
+            bucket_series_len(max_len)
+            if pad_to_bucket
+            else -(-max_len // cfg.ts.patch_size) * cfg.ts.patch_size
+        )
+        l_pad = -(-l_pad // cfg.ts.patch_size) * cfg.ts.patch_size
+        p_max = l_pad // cfg.ts.patch_size
+
+        input_ids = np.full((b, t_pad), self.pad_token_id, np.int32)
+        attention_mask = np.zeros((b, t_pad), np.int32)
+        seq_lens = np.zeros((b,), np.int32)
+        ts_values = np.zeros((n_pad, l_pad), np.float32)
+        ts_mask = np.zeros((n_pad, l_pad), np.float32)
+        # OOB sentinel: scatter with mode='drop' ignores these slots.
+        scatter_seq = np.full((n_pad, p_max), b, np.int32)
+        scatter_tok = np.full((n_pad, p_max), t_pad, np.int32)
+        patch_cnt = np.zeros((n_pad,), np.int32)
+
+        encoded_prompts: List[str] = []
+        ts_metas: List[List[Dict[str, float]]] = []
+        s_idx = 0
+        for bi, (ids, series_arrays, pcs, starts, enc_text, metas) in enumerate(
+            per_sample
+        ):
+            ln = len(ids)
+            if ln > t_pad:
+                raise ValueError(f"prompt of {ln} tokens exceeds pad length {t_pad}")
+            input_ids[bi, :ln] = ids
+            attention_mask[bi, :ln] = 1
+            seq_lens[bi] = ln
+            encoded_prompts.append(enc_text)
+            ts_metas.append(metas)
+            for values, pc, start in zip(series_arrays, pcs, starts):
+                ts_values[s_idx, : len(values)] = values
+                ts_mask[s_idx, : len(values)] = 1.0
+                patch_cnt[s_idx] = pc
+                scatter_seq[s_idx, :pc] = bi
+                scatter_tok[s_idx, :pc] = start + np.arange(pc)
+                s_idx += 1
+
+        positions = np.tile(np.arange(t_pad, dtype=np.int32), (b, 1))
+        return ProcessedBatch(
+            input_ids=input_ids,
+            attention_mask=attention_mask,
+            positions=positions,
+            seq_lens=seq_lens,
+            ts_values=ts_values,
+            ts_mask=ts_mask,
+            scatter_seq=scatter_seq,
+            scatter_tok=scatter_tok,
+            patch_cnt=patch_cnt,
+            encoded_prompts=encoded_prompts,
+            ts_metas=ts_metas,
+        )

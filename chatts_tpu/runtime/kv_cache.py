@@ -1,0 +1,39 @@
+"""KV cache allocation for the batch inference engine.
+
+Dense per-slot layout: per layer a pair of (B, S, KVH, D) arrays.  This is the
+TPU replacement for the part of vLLM's paged KV machinery that batch inference
+actually needs (reference dependency: vLLM 0.8.5, SURVEY §2.4); the serving
+path adds slot reuse on top (``chatts_tpu.serve``).
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax.numpy as jnp
+
+from chatts_tpu.core.config import QwenConfig
+
+LayerCache = Tuple[jnp.ndarray, jnp.ndarray]
+
+
+def allocate(
+    cfg: QwenConfig, batch_size: int, max_seq_len: int, dtype=jnp.bfloat16
+) -> List[LayerCache]:
+    shape = (batch_size, max_seq_len, cfg.num_key_value_heads, cfg.head_dim)
+    return [
+        (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        for _ in range(cfg.num_hidden_layers)
+    ]
+
+
+def cache_bytes(cfg: QwenConfig, batch_size: int, max_seq_len: int, dtype=jnp.bfloat16) -> int:
+    itemsize = jnp.dtype(dtype).itemsize
+    return (
+        2
+        * cfg.num_hidden_layers
+        * batch_size
+        * max_seq_len
+        * cfg.num_key_value_heads
+        * cfg.head_dim
+        * itemsize
+    )
