@@ -1,0 +1,130 @@
+"""GSPMD sharding rules for ChatTS parameters, caches, and batches.
+
+Megatron-style tensor parallelism expressed as PartitionSpecs, replacing the
+reference's delegation to vLLM's tensor_parallel_size (reference:
+README.md:127, chatts/utils/llm_utils.py:95,154; SURVEY §2.5).  The fused
+qkv / gate_up groups the reference declares for joint sharding
+(packed_modules_mapping, chatts_vllm.py:454-464) map here to: all of q/k/v
+column-sharded + o row-sharded; gate/up column-sharded + down row-sharded —
+one all-reduce per sublayer, riding ICI.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from chatts_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def _attn_specs() -> Dict[str, Any]:
+    col = {"kernel": P(None, MODEL_AXIS), "bias": P(MODEL_AXIS)}
+    return {
+        "q_proj": col,
+        "k_proj": col,
+        "v_proj": col,
+        "o_proj": {"kernel": P(MODEL_AXIS, None)},
+        "q_norm": P(),
+        "k_norm": P(),
+    }
+
+
+def _mlp_specs() -> Dict[str, Any]:
+    col = {"kernel": P(None, MODEL_AXIS)}
+    return {
+        "gate_proj": col,
+        "up_proj": col,
+        "down_proj": {"kernel": P(MODEL_AXIS, None)},
+    }
+
+
+def layer_specs() -> Dict[str, Any]:
+    return {
+        "input_layernorm": P(),
+        "post_attention_layernorm": P(),
+        "self_attn": _attn_specs(),
+        "mlp": _mlp_specs(),
+    }
+
+
+def llm_param_specs(num_layers: int) -> Dict[str, Any]:
+    return {
+        # Vocab-parallel embedding and lm_head: vocab dim over tp.
+        "embed_tokens": P(MODEL_AXIS, None),
+        "layers": [layer_specs() for _ in range(num_layers)],
+        "norm": P(),
+        "lm_head": P(None, MODEL_AXIS),
+    }
+
+
+def ts_encoder_param_specs(num_layers: int) -> Dict[str, Any]:
+    # The patch-encoder MLP is tiny relative to the LLM; shard only the
+    # hidden (output) dim of each layer so its activations already live in
+    # the tp layout the merge expects, falling back to replication for the
+    # (small) first-layer input dim.
+    return {
+        "mlp": [
+            {"kernel": P(None, MODEL_AXIS) if i == num_layers - 1 else P(),
+             "bias": P(MODEL_AXIS) if i == num_layers - 1 else P()}
+            for i in range(num_layers)
+        ],
+        "position_embedding": P(),
+    }
+
+
+def chatts_param_specs(cfg) -> Dict[str, Any]:
+    """PartitionSpec pytree matching chatts.init_params structure."""
+    return {
+        "ts_encoder": ts_encoder_param_specs(cfg.ts.num_layers),
+        "llm": llm_param_specs(cfg.llm.num_hidden_layers),
+    }
+
+
+def _prune_to_tree(specs: Any, tree: Any) -> Any:
+    """Restrict a spec tree to the keys actually present in a param tree
+    (e.g. drop q_norm for Qwen2, lm_head when tied)."""
+    if isinstance(tree, dict):
+        return {k: _prune_to_tree(specs[k], v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(
+            _prune_to_tree(s, v) for s, v in zip(specs, tree)
+        )
+    return specs
+
+
+def shardings_for_params(
+    mesh: Mesh, cfg, params: Dict[str, Any]
+) -> Dict[str, Any]:
+    """NamedSharding pytree congruent with ``params``."""
+    specs = _prune_to_tree(chatts_param_specs(cfg), params)
+    return jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec),
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def kv_cache_specs(num_layers: int) -> List[Tuple[P, P]]:
+    # (B, S, KVH, D): batch over dp, kv heads over tp.
+    spec = P(DATA_AXIS, None, MODEL_AXIS, None)
+    return [(spec, spec) for _ in range(num_layers)]
+
+
+def batch_specs() -> Dict[str, P]:
+    """Specs for ProcessedBatch device arrays: batch-sharded over dp; TS
+    series and scatter tables replicated (they cross-reference sequences)."""
+    return {
+        "input_ids": P(DATA_AXIS),
+        "positions": P(DATA_AXIS),
+        "seq_lens": P(DATA_AXIS),
+        "ts_values": P(),
+        "ts_mask": P(),
+        "scatter_seq": P(),
+        "scatter_tok": P(),
+    }
+
+
+def place_params(mesh: Mesh, cfg, params: Dict[str, Any]) -> Dict[str, Any]:
+    """Device-put params with TP/DP shardings applied."""
+    return jax.device_put(params, shardings_for_params(mesh, cfg, params))

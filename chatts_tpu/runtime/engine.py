@@ -102,6 +102,44 @@ def _decode_step(
     return caches, next_token
 
 
+def _decode_chunk(
+    params,
+    cfg: ChatTSConfig,
+    attn_impl: str,
+    gen_cfg: GenerationConfig,
+    chunk_size: int,
+    pad_id: int,
+    caches,
+    tokens,  # (B,) last sampled token
+    cur_lens,  # (B,)
+    done,  # (B,) bool
+    rng,
+):
+    """Run ``chunk_size`` decode steps fully on device via lax.scan.
+
+    One host sync per chunk instead of per token — the decode hot loop stays
+    on-chip (SURVEY hot loop #1).  EOS detection and freezing of finished
+    rows happen on device.
+    """
+    eos_ids = jnp.asarray(list(gen_cfg.eos_token_ids) or [-1], jnp.int32)
+
+    def body(carry, _):
+        caches, tokens, cur_lens, done, rng = carry
+        rng, key = jax.random.split(rng)
+        caches, next_tok = _decode_step(
+            params, cfg, attn_impl, gen_cfg, caches, tokens, cur_lens, key
+        )
+        next_tok = jnp.where(done, pad_id, next_tok)
+        new_done = done | jnp.any(next_tok[:, None] == eos_ids[None, :], axis=1)
+        cur_lens = cur_lens + jnp.where(done, 0, 1).astype(cur_lens.dtype)
+        return (caches, next_tok, cur_lens, new_done, rng), next_tok
+
+    (caches, tokens, cur_lens, done, rng), toks = jax.lax.scan(
+        body, (caches, tokens, cur_lens, done, rng), None, length=chunk_size
+    )
+    return caches, tokens, cur_lens, done, rng, toks.T  # (B, chunk)
+
+
 class InferenceEngine:
     """Owns jit-compiled prefill/decode and a Python generation loop."""
 
@@ -113,19 +151,27 @@ class InferenceEngine:
         cache_dtype=jnp.bfloat16,
         attn_impl: str = "auto",
         donate_cache: bool = True,
+        decode_chunk: int = 32,
+        pad_id: int = 0,
     ):
         self.params = params
         self.cfg = cfg
         self.cache_dtype = cache_dtype
         self.attn_impl = attn_impl
+        self.decode_chunk = decode_chunk
+        self.pad_id = pad_id
         self._prefill_jit = jax.jit(
             functools.partial(_prefill),
             static_argnames=("cfg", "cache_len", "cache_dtype", "attn_impl", "gen_cfg"),
         )
-        decode_kwargs = dict(static_argnames=("cfg", "attn_impl", "gen_cfg"))
+        decode_kwargs = dict(
+            static_argnames=("cfg", "attn_impl", "gen_cfg", "chunk_size", "pad_id")
+        )
         if donate_cache:
             decode_kwargs["donate_argnames"] = ("caches",)
-        self._decode_jit = jax.jit(functools.partial(_decode_step), **decode_kwargs)
+        self._decode_chunk_jit = jax.jit(
+            functools.partial(_decode_chunk), **decode_kwargs
+        )
 
     def generate(
         self,
@@ -162,42 +208,54 @@ class InferenceEngine:
         ttft = time.perf_counter() - start
 
         eos = set(gen_cfg.eos_token_ids)
-        outputs: List[List[int]] = [[int(first_tokens[i])] for i in range(b)]
-        done = np.array([int(first_tokens[i]) in eos for i in range(b)])
+        done_host = np.array([int(first_tokens[i]) in eos for i in range(b)])
         cur_lens = jnp.asarray(batch.seq_lens)
+        done = jnp.asarray(done_host)
         tokens = next_token
 
+        # Chunked on-device decode: one host sync per chunk, not per token.
+        chunk = max(1, min(self.decode_chunk, gen_cfg.max_new_tokens - 1))
         decode_start = time.perf_counter()
         steps = 0
-        for _ in range(gen_cfg.max_new_tokens - 1):
-            if done.all():
-                break
-            if int(cur_lens.max()) + 1 >= cache_len:
-                break
-            rng, step_key = jax.random.split(rng)
-            caches, tokens = self._decode_jit(
+        remaining = gen_cfg.max_new_tokens - 1
+        collected: List[np.ndarray] = []
+        while remaining > 0 and not done_host.all():
+            step = chunk if remaining >= chunk else remaining
+            rng, loop_key = jax.random.split(rng)
+            caches, tokens, cur_lens, done, rng_out, toks = self._decode_chunk_jit(
                 self.params, self.cfg, self.attn_impl, gen_cfg,
-                caches, tokens, cur_lens, step_key,
+                step, self.pad_id,
+                caches, tokens, cur_lens, done, loop_key,
             )
-            cur_lens = cur_lens + 1
-            steps += 1
-            host_tokens = np.asarray(tokens)
-            for i in range(b):
-                if not done[i]:
-                    tid = int(host_tokens[i])
-                    outputs[i].append(tid)
-                    if tid in eos:
-                        done[i] = True
+            collected.append(np.asarray(toks))  # (B, step)
+            done_host = np.asarray(done)
+            remaining -= step
+            steps += step
         total = time.perf_counter() - start
         decode_time = time.perf_counter() - decode_start
         tpot = decode_time / max(steps, 1)
 
-        # Trim trailing EOS token from each row.
-        trimmed = [
-            row[:-1] if (row and row[-1] in eos) else row for row in outputs
-        ]
+        # Assemble per-row outputs: first token + chunk tokens up to first EOS.
+        all_toks = (
+            np.concatenate(collected, axis=1) if collected else np.zeros((b, 0), np.int32)
+        )
+        outputs: List[List[int]] = []
+        for i in range(b):
+            first = int(first_tokens[i])
+            if first in eos:
+                outputs.append([])
+                continue
+            row = [first]
+            for t in all_toks[i]:
+                if int(t) in eos:
+                    break
+                row.append(int(t))
+            else:
+                outputs.append(row)
+                continue
+            outputs.append(row)
         return GenerateResult(
-            token_ids=trimmed,
+            token_ids=outputs,
             prompt_lens=[int(x) for x in batch.seq_lens],
             ttft_s=ttft,
             tpot_s=tpot,

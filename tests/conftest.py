@@ -18,6 +18,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The axon TPU plugin's sitecustomize overrides JAX_PLATFORMS at interpreter
+# start; force CPU again via config (effective as long as no backend has been
+# initialized yet) so tests run on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except AttributeError:
+    pass
+
 # XLA:CPU's default matmul precision is bfloat16-like (observed ~4e-2 error on
 # a 32-dim fp32 dot); parity tests need real fp32 matmuls.
 jax.config.update("jax_default_matmul_precision", "highest")
