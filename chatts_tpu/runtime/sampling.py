@@ -49,3 +49,29 @@ def sample(
     if gen_cfg.top_p < 1.0:
         logits = apply_top_p(logits, gen_cfg.top_p)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def sample_per_slot(
+    logits: jnp.ndarray,  # (B, V) float32
+    key: jax.Array,
+    temperature: jnp.ndarray,  # (B,) float32; <= 0 means greedy
+    top_p: jnp.ndarray,  # (B,) float32; >= 1 disables
+) -> jnp.ndarray:
+    """Per-row sampling for the continuous-batching server, where every slot
+    carries its own request's sampling params (vLLM-parity behavior)."""
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    safe_temp = jnp.where(temperature > 0, temperature, 1.0)
+    scaled = logits / safe_temp[:, None]
+
+    # Per-row nucleus filtering (vectorized over the batch).
+    sorted_logits = jnp.sort(scaled, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep_sorted = (cum - probs) < jnp.clip(top_p, 0.0, 1.0)[:, None]
+    masked = jnp.where(keep_sorted, sorted_logits, jnp.inf)
+    threshold = jnp.min(masked, axis=-1, keepdims=True)
+    filtered = jnp.where(scaled < threshold, _NEG_INF, scaled)
+    filtered = jnp.where(top_p[:, None] >= 1.0, scaled, filtered)
+
+    sampled = jax.random.categorical(key, filtered, axis=-1).astype(jnp.int32)
+    return jnp.where(temperature > 0, sampled, greedy_tok)

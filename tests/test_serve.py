@@ -1,0 +1,212 @@
+"""Continuous-batching engine + OpenAI-compatible server tests (tiny model,
+CPU).  The multi-request interleaving here is the analog of the reference's
+informal batch probe (demo_vllm.py:55-59) made into a real test."""
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chatts_tpu.core.config import tiny_config
+from chatts_tpu.models import chatts
+from chatts_tpu.processor.processor import ChatTSProcessor
+from chatts_tpu.serve.scheduler import Request, SamplingParams, ServeEngine
+from chatts_tpu.serve.server import ChatTSServer, apply_qwen_chat_template
+from tests.helpers import FakeTokenizer
+
+
+@pytest.fixture(scope="module")
+def engine_setup():
+    cfg = tiny_config(vocab_size=256, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, patch_size=4,
+                      max_sequence_length=64, ts_token_start_index=240)
+    params = chatts.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    proc = ChatTSProcessor(FakeTokenizer(vocab_limit=200), cfg)
+    return cfg, params, proc
+
+
+def make_engine(engine_setup, **kw):
+    cfg, params, proc = engine_setup
+    kw.setdefault("max_batch_size", 4)
+    kw.setdefault("max_model_len", 512)
+    kw.setdefault("cache_dtype", jnp.float32)
+    kw.setdefault("attn_impl", "xla")
+    kw.setdefault("decode_chunk", 4)
+    return ServeEngine(params, cfg, proc, **kw)
+
+
+def test_single_request(engine_setup):
+    with make_engine(engine_setup) as eng:
+        req = eng.generate_sync(
+            "hello <ts><ts/> world", [np.arange(8.0)],
+            SamplingParams(max_tokens=6, temperature=0.0),
+        )
+    assert len(req.output_tokens) == 6
+    assert req.finish_reason == "length"
+    assert req.ttft_s is not None and req.ttft_s > 0
+    assert req.prompt_tokens > 0
+
+
+def test_concurrent_requests_interleave(engine_setup):
+    with make_engine(engine_setup) as eng:
+        reqs = [
+            Request(f"req {i} <ts><ts/>", [np.arange(8.0) * (i + 1)],
+                    SamplingParams(max_tokens=5, temperature=0.0))
+            for i in range(6)  # more than max_batch_size=4
+        ]
+        for r in reqs:
+            eng.submit(r)
+        import time
+
+        deadline = time.time() + 120
+        while any(r.finished_s is None and r.error is None for r in reqs):
+            assert time.time() < deadline, "requests did not finish"
+            time.sleep(0.01)
+    for r in reqs:
+        assert r.error is None
+        assert len(r.output_tokens) == 5
+    assert eng.stats()["total_requests"] == 6
+
+
+def test_determinism_matches_batch_engine(engine_setup):
+    """Greedy decode through the serving engine must match the batch engine."""
+    cfg, params, proc = engine_setup
+    from chatts_tpu.core.config import GenerationConfig
+    from chatts_tpu.runtime.engine import InferenceEngine
+
+    prompt = "check <ts><ts/> parity"
+    ts = [np.arange(12.0)]
+    batch_engine = InferenceEngine(params, cfg, cache_dtype=jnp.float32,
+                                   attn_impl="xla")
+    expected = batch_engine.generate(
+        proc([prompt], ts), GenerationConfig(max_new_tokens=6, greedy=True)
+    ).token_ids[0]
+
+    with make_engine(engine_setup) as eng:
+        req = eng.generate_sync(prompt, ts, SamplingParams(max_tokens=6, temperature=0.0))
+    assert req.output_tokens == expected
+
+
+def test_request_too_long_rejected(engine_setup):
+    with make_engine(engine_setup, max_model_len=128) as eng:
+        req = Request("x " * 100 + "<ts><ts/>", [np.arange(8.0)],
+                      SamplingParams(max_tokens=200))
+        eng.submit(req)
+        import time
+
+        deadline = time.time() + 30
+        while req.error is None and req.finished_s is None:
+            assert time.time() < deadline
+            time.sleep(0.01)
+    assert req.error is not None and "max_model_len" in req.error
+
+
+def test_eos_stops_generation(engine_setup):
+    cfg, params, proc = engine_setup
+    with make_engine(engine_setup) as eng:
+        probe = eng.generate_sync("stop <ts><ts/> now", [np.arange(8.0)],
+                                  SamplingParams(max_tokens=4, temperature=0.0))
+        eos = probe.output_tokens[1]
+    with make_engine(engine_setup, eos_token_ids=(eos,)) as eng:
+        req = eng.generate_sync("stop <ts><ts/> now", [np.arange(8.0)],
+                                SamplingParams(max_tokens=10, temperature=0.0))
+    assert req.output_tokens == probe.output_tokens[:1]
+    assert req.finish_reason == "stop"
+
+
+def test_chat_template_collects_series():
+    messages = [
+        {"role": "user", "content": [
+            {"type": "text", "text": "look at "},
+            {"timeseries": [1.0, 2.0, 3.0]},
+            {"type": "text", "text": " and "},
+            {"timeseries": [4.0, 5.0]},
+        ]},
+    ]
+    prompt, series = apply_qwen_chat_template(messages)
+    assert prompt.count("<ts><ts/>") == 2
+    assert prompt.startswith("<|im_start|>system")
+    assert prompt.endswith("<|im_start|>assistant\n")
+    assert len(series) == 2
+    np.testing.assert_array_equal(series[1], [4.0, 5.0])
+
+
+def test_http_server_end_to_end(engine_setup):
+    cfg, params, proc = engine_setup
+    eng = make_engine(engine_setup)
+    server = ChatTSServer(eng, FakeTokenizer(vocab_limit=200), port=0)
+
+    # Bind on an ephemeral port.
+    from http.server import ThreadingHTTPServer
+
+    server.engine.start()
+    httpd = None
+
+    def run():
+        nonlocal httpd
+        server.port = 0
+        server.serve_forever()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    import time
+
+    deadline = time.time() + 10
+    while server._httpd is None and time.time() < deadline:
+        time.sleep(0.05)
+    assert server._httpd is not None
+    port = server._httpd.server_address[1]
+
+    try:
+        # /health
+        with urllib.request.urlopen(f"http://localhost:{port}/health") as r:
+            assert json.loads(r.read())["status"] == "ok"
+        # /v1/models
+        with urllib.request.urlopen(f"http://localhost:{port}/v1/models") as r:
+            assert json.loads(r.read())["data"][0]["id"] == "chatts"
+        # chat completion with a timeseries content part
+        body = json.dumps({
+            "model": "chatts",
+            "messages": [{"role": "user", "content": [
+                {"type": "text", "text": "analyze "},
+                {"timeseries": list(np.sin(np.arange(8)))},
+            ]}],
+            "max_tokens": 5,
+            "temperature": 0.0,
+        }).encode()
+        req = urllib.request.Request(
+            f"http://localhost:{port}/v1/chat/completions", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            data = json.loads(r.read())
+        assert data["choices"][0]["message"]["content"]
+        assert data["usage"]["completion_tokens"] == 5
+        # streaming
+        body2 = json.loads(body)
+        body2["stream"] = True
+        req2 = urllib.request.Request(
+            f"http://localhost:{port}/v1/chat/completions",
+            data=json.dumps(body2).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req2, timeout=120) as r:
+            events = r.read().decode()
+        assert "data: [DONE]" in events
+        assert events.count("data:") >= 2
+        # malformed JSON
+        bad = urllib.request.Request(
+            f"http://localhost:{port}/v1/chat/completions", data=b"{oops",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "should have failed"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
