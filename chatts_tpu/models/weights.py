@@ -1,0 +1,327 @@
+"""Checkpoint I/O: HF safetensors <-> ChatTS-TPU param pytrees.
+
+The reference loads checkpoints through vLLM's AutoWeightsLoader with a
+prefix mapper (reference: chatts/vllm/chatts_vllm.py:467-470,612-625) or HF
+``from_pretrained`` remote code.  Here weights stream directly from
+safetensors shards into the JAX pytree — each tensor is read once, cast, and
+(optionally) placed with its TP sharding immediately, so peak host memory
+stays ~one shard, not 2x model size.
+
+Tied-embedding detection matches the reference: if ``lm_head.weight`` is
+absent, logits reuse the embedding table (chatts_vllm.py:621-624).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chatts_tpu.core.config import ChatTSConfig
+from chatts_tpu.models import qwen, ts_encoder
+
+
+class LazyStateDict:
+    """Dict-like view over one or many safetensors shards; tensors load on
+    first access and are not retained."""
+
+    def __init__(self, model_path: str):
+        self.model_path = model_path
+        index_path = os.path.join(model_path, "model.safetensors.index.json")
+        self._name_to_file: Dict[str, str] = {}
+        if os.path.exists(index_path):
+            with open(index_path) as f:
+                index = json.load(f)
+            self._name_to_file = dict(index["weight_map"])
+        else:
+            single = os.path.join(model_path, "model.safetensors")
+            if not os.path.exists(single):
+                raise FileNotFoundError(
+                    f"no model.safetensors[.index.json] under {model_path}"
+                )
+            from safetensors import safe_open
+
+            with safe_open(single, framework="np") as f:
+                for name in f.keys():
+                    self._name_to_file[name] = "model.safetensors"
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._name_to_file
+
+    def keys(self):
+        return self._name_to_file.keys()
+
+    def __getitem__(self, name: str) -> np.ndarray:
+        from safetensors import safe_open
+
+        fname = self._name_to_file[name]
+        with safe_open(
+            os.path.join(self.model_path, fname), framework="np"
+        ) as f:
+            tensor = f.get_tensor(name)
+        # numpy has no bfloat16: safetensors returns a uint16 view via
+        # ml_dtypes in framework="np" mode on new versions; normalize through
+        # jnp at the call site.
+        return tensor
+
+    def get_jnp(self, name: str, dtype) -> jnp.ndarray:
+        return jnp.asarray(self[name]).astype(dtype)
+
+
+def detect_tied_embeddings(sd: LazyStateDict) -> bool:
+    return "lm_head.weight" not in sd
+
+
+def load_checkpoint(
+    model_path: str,
+    cfg: Optional[ChatTSConfig] = None,
+    *,
+    dtype=jnp.bfloat16,
+    mesh=None,
+) -> Tuple[ChatTSConfig, Dict[str, Any]]:
+    """Load a ChatTS HF checkpoint directory into (config, params).
+
+    With ``mesh`` given, every tensor is device_put with its TP sharding as it
+    streams in (chatts_tpu.parallel.sharding rules).
+    """
+    if cfg is None:
+        cfg = ChatTSConfig.from_pretrained(model_path)
+    sd = LazyStateDict(model_path)
+
+    tied = detect_tied_embeddings(sd)
+    if tied != cfg.llm.tie_word_embeddings:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, tie_word_embeddings=tied)
+        )
+
+    shardings = None
+    if mesh is not None:
+        from chatts_tpu.parallel import sharding as sharding_lib
+
+        specs = sharding_lib.chatts_param_specs(cfg)
+
+        def shard_for(path_keys, shape):
+            node = specs
+            for k in path_keys:
+                node = node[k]
+            from jax.sharding import NamedSharding
+
+            node = sharding_lib.sanitize_spec(node, shape, mesh)
+            return NamedSharding(mesh, node)
+
+    def place(arr: jnp.ndarray, path_keys):
+        if mesh is None:
+            return arr
+        return jax.device_put(arr, shard_for(path_keys, arr.shape))
+
+    def dense(name: str, bias: bool, path_keys, cast=dtype):
+        out = {
+            "kernel": place(
+                jnp.asarray(sd[name + ".weight"]).astype(cast).T,
+                path_keys + ("kernel",),
+            )
+        }
+        if bias and name + ".bias" in sd:
+            out["bias"] = place(
+                sd.get_jnp(name + ".bias", cast), path_keys + ("bias",)
+            )
+        return out
+
+    lcfg = cfg.llm
+    layers = []
+    for i in range(lcfg.num_hidden_layers):
+        lp = f"model.layers.{i}."
+        pk = ("llm", "layers", i)
+        layer = {
+            "input_layernorm": place(
+                sd.get_jnp(lp + "input_layernorm.weight", dtype),
+                pk + ("input_layernorm",),
+            ),
+            "post_attention_layernorm": place(
+                sd.get_jnp(lp + "post_attention_layernorm.weight", dtype),
+                pk + ("post_attention_layernorm",),
+            ),
+            "self_attn": {
+                "q_proj": dense(lp + "self_attn.q_proj", lcfg.attention_bias,
+                                pk + ("self_attn", "q_proj")),
+                "k_proj": dense(lp + "self_attn.k_proj", lcfg.attention_bias,
+                                pk + ("self_attn", "k_proj")),
+                "v_proj": dense(lp + "self_attn.v_proj", lcfg.attention_bias,
+                                pk + ("self_attn", "v_proj")),
+                "o_proj": dense(lp + "self_attn.o_proj", False,
+                                pk + ("self_attn", "o_proj")),
+            },
+            "mlp": {
+                "gate_proj": dense(lp + "mlp.gate_proj", False,
+                                   pk + ("mlp", "gate_proj")),
+                "up_proj": dense(lp + "mlp.up_proj", False,
+                                 pk + ("mlp", "up_proj")),
+                "down_proj": dense(lp + "mlp.down_proj", False,
+                                   pk + ("mlp", "down_proj")),
+            },
+        }
+        if lcfg.qk_norm:
+            layer["self_attn"]["q_norm"] = place(
+                sd.get_jnp(lp + "self_attn.q_norm.weight", dtype),
+                pk + ("self_attn", "q_norm"),
+            )
+            layer["self_attn"]["k_norm"] = place(
+                sd.get_jnp(lp + "self_attn.k_norm.weight", dtype),
+                pk + ("self_attn", "k_norm"),
+            )
+        layers.append(layer)
+
+    llm_params: Dict[str, Any] = {
+        "embed_tokens": place(
+            sd.get_jnp("model.embed_tokens.weight", dtype),
+            ("llm", "embed_tokens"),
+        ),
+        "layers": layers,
+        "norm": place(sd.get_jnp("model.norm.weight", dtype), ("llm", "norm")),
+    }
+    if not tied:
+        llm_params["lm_head"] = place(
+            jnp.asarray(sd["lm_head.weight"]).astype(dtype).T,
+            ("llm", "lm_head"),
+        )
+
+    # TS encoder: fp32 for numerical parity on value-QA (SURVEY §7).
+    ts_params: Dict[str, Any] = {"mlp": []}
+    for i in range(cfg.ts.num_layers):
+        slot = 2 * i
+        ts_params["mlp"].append(
+            {
+                "kernel": place(
+                    jnp.asarray(sd[f"ts_encoder.mlp.{slot}.weight"])
+                    .astype(jnp.float32).T,
+                    ("ts_encoder", "mlp", i, "kernel"),
+                ),
+                "bias": place(
+                    sd.get_jnp(f"ts_encoder.mlp.{slot}.bias", jnp.float32),
+                    ("ts_encoder", "mlp", i, "bias"),
+                ),
+            }
+        )
+    if cfg.ts.use_position_embedding:
+        ts_params["position_embedding"] = place(
+            sd.get_jnp("ts_encoder.position_embedding.weight", jnp.float32),
+            ("ts_encoder", "position_embedding"),
+        )
+
+    return cfg, {"ts_encoder": ts_params, "llm": llm_params}
+
+
+def _iter_flat(params: Dict[str, Any], prefix: str = "") -> Iterator[Tuple[str, Any]]:
+    for k, v in params.items():
+        name = f"{prefix}{k}"
+        if isinstance(v, dict):
+            yield from _iter_flat(v, name + ".")
+        elif isinstance(v, list):
+            for i, item in enumerate(v):
+                yield from _iter_flat(item, f"{name}.{i}.")
+        else:
+            yield name, v
+
+
+def save_checkpoint(model_path: str, cfg: ChatTSConfig, params: Dict[str, Any]) -> None:
+    """Export params back to HF layout (single safetensors file + config.json)
+    so checkpoints round-trip (LoRA-merged models, fine-tunes)."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(model_path, exist_ok=True)
+    tensors: Dict[str, np.ndarray] = {}
+
+    llm = params["llm"]
+    tensors["model.embed_tokens.weight"] = np.asarray(llm["embed_tokens"], np.float32)
+    tensors["model.norm.weight"] = np.asarray(llm["norm"], np.float32)
+    if "lm_head" in llm:
+        tensors["lm_head.weight"] = np.ascontiguousarray(np.asarray(llm["lm_head"], np.float32).T)
+    for i, layer in enumerate(llm["layers"]):
+        lp = f"model.layers.{i}."
+        tensors[lp + "input_layernorm.weight"] = np.asarray(
+            layer["input_layernorm"], np.float32
+        )
+        tensors[lp + "post_attention_layernorm.weight"] = np.asarray(
+            layer["post_attention_layernorm"], np.float32
+        )
+        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            d = layer["self_attn"][proj]
+            tensors[lp + f"self_attn.{proj}.weight"] = np.ascontiguousarray(
+                np.asarray(d["kernel"], np.float32).T
+            )
+            if "bias" in d:
+                tensors[lp + f"self_attn.{proj}.bias"] = np.asarray(
+                    d["bias"], np.float32
+                )
+        for norm in ("q_norm", "k_norm"):
+            if norm in layer["self_attn"]:
+                tensors[lp + f"self_attn.{norm}.weight"] = np.asarray(
+                    layer["self_attn"][norm], np.float32
+                )
+        for proj in ("gate_proj", "up_proj", "down_proj"):
+            tensors[lp + f"mlp.{proj}.weight"] = np.ascontiguousarray(
+                np.asarray(layer["mlp"][proj]["kernel"], np.float32).T
+            )
+
+    for i, lyr in enumerate(params["ts_encoder"]["mlp"]):
+        tensors[f"ts_encoder.mlp.{2 * i}.weight"] = np.ascontiguousarray(
+            np.asarray(lyr["kernel"], np.float32).T
+        )
+        tensors[f"ts_encoder.mlp.{2 * i}.bias"] = np.asarray(lyr["bias"], np.float32)
+    if "position_embedding" in params["ts_encoder"]:
+        tensors["ts_encoder.position_embedding.weight"] = np.asarray(
+            params["ts_encoder"]["position_embedding"], np.float32
+        )
+
+    save_file(tensors, os.path.join(model_path, "model.safetensors"))
+    config = {
+        "architectures": ["Qwen3TSForCausalLM" if cfg.llm.qk_norm else "Qwen2TSForCausalLM"],
+        "model_type": "chatts",
+        "vocab_size": cfg.llm.vocab_size,
+        "hidden_size": cfg.llm.hidden_size,
+        "intermediate_size": cfg.llm.intermediate_size,
+        "num_hidden_layers": cfg.llm.num_hidden_layers,
+        "num_attention_heads": cfg.llm.num_attention_heads,
+        "num_key_value_heads": cfg.llm.num_key_value_heads,
+        "head_dim": cfg.llm.head_dim,
+        "rms_norm_eps": cfg.llm.rms_norm_eps,
+        "rope_theta": cfg.llm.rope_theta,
+        "max_position_embeddings": cfg.llm.max_position_embeddings,
+        "tie_word_embeddings": cfg.llm.tie_word_embeddings,
+        "ts": {
+            "patch_size": cfg.ts.patch_size,
+            "num_layers": cfg.ts.num_layers,
+            "hidden_size": cfg.ts.hidden_size,
+            "num_features": cfg.ts.num_features,
+            "max_sequence_length": cfg.ts.max_sequence_length,
+            "use_position_embedding": cfg.ts.use_position_embedding,
+            "use_position_idx": cfg.ts.use_position_idx,
+            "embedding_dim": cfg.ts.embedding_dim,
+        },
+        "ts_token_start_index": cfg.ts_token_start_index,
+    }
+    with open(os.path.join(model_path, "config.json"), "w") as f:
+        json.dump(config, f, indent=2)
+
+
+def from_pretrained(
+    model_path: str, *, dtype=jnp.bfloat16, mesh=None
+) -> Tuple[ChatTSConfig, Dict[str, Any], Any]:
+    """(config, params, tokenizer) from an HF checkpoint directory.  The
+    tokenizer loads via transformers when tokenizer files exist, else None."""
+    cfg, params = load_checkpoint(model_path, dtype=dtype, mesh=mesh)
+    tokenizer = None
+    for probe in ("tokenizer.json", "tokenizer_config.json", "vocab.json"):
+        if os.path.exists(os.path.join(model_path, probe)):
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(
+                model_path, trust_remote_code=False
+            )
+            break
+    return cfg, params, tokenizer

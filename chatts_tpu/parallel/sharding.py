@@ -93,14 +93,38 @@ def _prune_to_tree(specs: Any, tree: Any) -> Any:
     return specs
 
 
+def sanitize_spec(spec: P, shape, mesh: Mesh) -> P:
+    """Drop mesh axes that do not divide the corresponding dim.
+
+    Megatron TP assumes tp | heads (and tp | kv_heads); when a model's kv-head
+    count is smaller than the tp degree, the clean fallback is replication of
+    that tensor rather than a GSPMD error."""
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    out = []
+    for dim, axis in zip(shape, entries):
+        if axis is None:
+            out.append(None)
+            continue
+        axes = axis if isinstance(axis, tuple) else (axis,)
+        size = 1
+        for a in axes:
+            size *= mesh.shape[a]
+        out.append(axis if dim % size == 0 else None)
+    return P(*out)
+
+
 def shardings_for_params(
     mesh: Mesh, cfg, params: Dict[str, Any]
 ) -> Dict[str, Any]:
-    """NamedSharding pytree congruent with ``params``."""
+    """NamedSharding pytree congruent with ``params``, with non-divisible
+    dims falling back to replication."""
     specs = _prune_to_tree(chatts_param_specs(cfg), params)
     return jax.tree.map(
-        lambda spec: NamedSharding(mesh, spec),
+        lambda spec, leaf: NamedSharding(
+            mesh, sanitize_spec(spec, leaf.shape, mesh)
+        ),
         specs,
+        params,
         is_leaf=lambda x: isinstance(x, P),
     )
 

@@ -1,0 +1,98 @@
+"""Checkpoint round-trip tests: save -> load -> identical logits; tied
+embedding detection; sharded load on the virtual mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chatts_tpu.core.config import tiny_config
+from chatts_tpu.models import chatts, weights
+
+
+def test_save_load_round_trip(tmp_path):
+    cfg = tiny_config(vocab_size=128, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, patch_size=4,
+                      max_sequence_length=32, ts_token_start_index=120)
+    params = chatts.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    weights.save_checkpoint(str(tmp_path), cfg, params)
+
+    cfg2, params2 = weights.load_checkpoint(str(tmp_path), dtype=jnp.float32)
+    assert cfg2.llm.hidden_size == 32
+    assert cfg2.ts.patch_size == 4
+    assert not cfg2.llm.tie_word_embeddings
+
+    ids = np.arange(10)[None] % 128
+    positions = np.arange(10)[None]
+
+    def logits_of(p, c):
+        hidden, _ = chatts.forward(p, c, jnp.asarray(ids), jnp.asarray(positions),
+                                   attn_impl="xla")
+        return np.asarray(chatts.compute_logits(p, c, hidden))
+
+    np.testing.assert_allclose(
+        logits_of(params, cfg), logits_of(params2, cfg2), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_tied_embeddings_detected(tmp_path):
+    cfg = tiny_config(vocab_size=64, hidden_size=16, intermediate_size=32,
+                      num_hidden_layers=1, patch_size=4,
+                      max_sequence_length=16, ts_token_start_index=60)
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, llm=dataclasses.replace(cfg.llm, tie_word_embeddings=True)
+    )
+    params = chatts.init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    assert "lm_head" not in params["llm"]
+    weights.save_checkpoint(str(tmp_path), cfg, params)
+    cfg2, params2 = weights.load_checkpoint(str(tmp_path), dtype=jnp.float32)
+    assert cfg2.llm.tie_word_embeddings
+    assert "lm_head" not in params2["llm"]
+
+
+def test_qwen3_round_trip(tmp_path):
+    cfg = tiny_config(vocab_size=64, hidden_size=32, intermediate_size=48,
+                      num_hidden_layers=1, patch_size=4,
+                      max_sequence_length=16, ts_token_start_index=60,
+                      qwen3=True)
+    params = chatts.init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
+    assert "q_norm" in params["llm"]["layers"][0]["self_attn"]
+    weights.save_checkpoint(str(tmp_path), cfg, params)
+    cfg2, params2 = weights.load_checkpoint(str(tmp_path), dtype=jnp.float32)
+    assert cfg2.llm.qk_norm
+    np.testing.assert_allclose(
+        np.asarray(params2["llm"]["layers"][0]["self_attn"]["q_norm"]),
+        np.asarray(params["llm"]["layers"][0]["self_attn"]["q_norm"]),
+        rtol=1e-6,
+    )
+
+
+def test_sharded_load_on_mesh(tmp_path):
+    cfg = tiny_config(vocab_size=128, hidden_size=64, intermediate_size=64,
+                      num_hidden_layers=1, num_attention_heads=4,
+                      num_key_value_heads=2, patch_size=4,
+                      max_sequence_length=16, ts_token_start_index=120)
+    params = chatts.init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    weights.save_checkpoint(str(tmp_path), cfg, params)
+
+    from chatts_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.create_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    cfg2, params2 = weights.load_checkpoint(
+        str(tmp_path), dtype=jnp.float32, mesh=mesh
+    )
+    q_kernel = params2["llm"]["layers"][0]["self_attn"]["q_proj"]["kernel"]
+    # Column-sharded over tp: spread across both tp devices.
+    assert len(q_kernel.sharding.device_set) == 2
+    # Sharded and unsharded params produce identical logits.
+    ids = np.arange(8)[None] % 128
+    pos = np.arange(8)[None]
+    with jax.set_mesh(mesh):
+        hidden, _ = chatts.forward(params2, cfg2, jnp.asarray(ids),
+                                   jnp.asarray(pos), attn_impl="xla")
+        logits_sharded = np.asarray(chatts.compute_logits(params2, cfg2, hidden))
+    hidden, _ = chatts.forward(params, cfg, jnp.asarray(ids), jnp.asarray(pos),
+                               attn_impl="xla")
+    logits_ref = np.asarray(chatts.compute_logits(params, cfg, hidden))
+    np.testing.assert_allclose(logits_sharded, logits_ref, rtol=2e-4, atol=2e-4)
