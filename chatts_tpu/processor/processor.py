@@ -165,12 +165,17 @@ class ChatTSProcessor:
         timeseries: Optional[Sequence[np.ndarray]] = None,
         *,
         pad_to_bucket: bool = True,
+        use_native: Optional[bool] = None,
     ) -> ProcessedBatch:
         """Process a batch.
 
         ``timeseries`` is the flat list of series across the whole batch in
         prompt order, matching the reference processor's call convention
         (reference: inference_tsmllm_deepspeed.py:76-89).
+
+        For sp encoding the host hot path (scale + pad + patchify + scatter
+        map) runs through the native C++ packer when built
+        (csrc/host_pack.cpp), with a numpy fallback.
         """
         cfg = self.config
         timeseries = list(timeseries or [])
@@ -205,16 +210,11 @@ class ChatTSProcessor:
         input_ids = np.full((b, t_pad), self.pad_token_id, np.int32)
         attention_mask = np.zeros((b, t_pad), np.int32)
         seq_lens = np.zeros((b,), np.int32)
-        ts_values = np.zeros((n_pad, l_pad), np.float32)
-        ts_mask = np.zeros((n_pad, l_pad), np.float32)
-        # OOB sentinel: scatter with mode='drop' ignores these slots.
-        scatter_seq = np.full((n_pad, p_max), b, np.int32)
-        scatter_tok = np.full((n_pad, p_max), t_pad, np.int32)
-        patch_cnt = np.zeros((n_pad,), np.int32)
-
         encoded_prompts: List[str] = []
         ts_metas: List[List[Dict[str, float]]] = []
-        s_idx = 0
+        flat_pcs: List[int] = []
+        flat_seq: List[int] = []
+        flat_start: List[int] = []
         for bi, (ids, series_arrays, pcs, starts, enc_text, metas) in enumerate(
             per_sample
         ):
@@ -226,13 +226,40 @@ class ChatTSProcessor:
             seq_lens[bi] = ln
             encoded_prompts.append(enc_text)
             ts_metas.append(metas)
-            for values, pc, start in zip(series_arrays, pcs, starts):
-                ts_values[s_idx, : len(values)] = values
-                ts_mask[s_idx, : len(values)] = 1.0
-                patch_cnt[s_idx] = pc
-                scatter_seq[s_idx, :pc] = bi
-                scatter_tok[s_idx, :pc] = start + np.arange(pc)
-                s_idx += 1
+            flat_pcs.extend(pcs)
+            flat_seq.extend([bi] * len(pcs))
+            flat_start.extend(starts)
+
+        # Series arrays + scatter map: native fused pass when available.
+        if use_native is None:
+            use_native = True
+        native_done = False
+        if use_native and n:
+            from chatts_tpu.utils import native
+
+            smap = native.build_scatter_map(
+                np.asarray(flat_pcs, np.int32),
+                np.asarray(flat_seq, np.int32),
+                np.asarray(flat_start, np.int32),
+                n_pad, p_max, b, t_pad,
+            )
+            if smap is not None:
+                scatter_seq, scatter_tok = smap
+                native_done = True
+        if not native_done:
+            scatter_seq = np.full((n_pad, p_max), b, np.int32)
+            scatter_tok = np.full((n_pad, p_max), t_pad, np.int32)
+            for i, (pc, bi, start) in enumerate(zip(flat_pcs, flat_seq, flat_start)):
+                scatter_seq[i, :pc] = bi
+                scatter_tok[i, :pc] = start + np.arange(pc)
+
+        ts_values = np.zeros((n_pad, l_pad), np.float32)
+        ts_mask = np.zeros((n_pad, l_pad), np.float32)
+        patch_cnt = np.zeros((n_pad,), np.int32)
+        for i, values in enumerate(all_series):
+            ts_values[i, : len(values)] = values
+            ts_mask[i, : len(values)] = 1.0
+            patch_cnt[i] = flat_pcs[i]
 
         positions = np.tile(np.arange(t_pad, dtype=np.int32), (b, 1))
         return ProcessedBatch(

@@ -244,6 +244,29 @@ class ServeEngine:
 
     # -- public API --------------------------------------------------------
 
+    def warmup(self, prefill_buckets: Sequence[int] = (128, 256, 512)) -> None:
+        """Pre-compile the decode step and the standard prefill buckets so the
+        first real request doesn't pay multi-second jit latency (cold-start
+        finding from live verification)."""
+        import numpy as np
+
+        from chatts_tpu.core import encoding
+
+        self.start()
+        for bucket in sorted(prefill_buckets):
+            # ~1 token per short word; leave headroom for the template + TS
+            # placeholders so the padded length lands in this bucket.
+            words = " ".join("warm" for _ in range(max(1, bucket - 32)))
+            prompt = f"{words} {encoding.TS_PAIR}"
+            try:
+                self.generate_sync(
+                    prompt, [np.arange(float(self.cfg.ts.patch_size * 4))],
+                    SamplingParams(max_tokens=self.decode_chunk + 2,
+                                   temperature=0.0),
+                )
+            except Exception as err:
+                print(f"[warmup] bucket {bucket} failed: {err}")
+
     def submit(self, request: Request) -> Request:
         self.total_requests += 1
         self.waiting.put(request)

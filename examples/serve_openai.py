@@ -1,0 +1,61 @@
+"""Start the OpenAI-compatible ChatTS server (vLLM-server path analog).
+
+Reference flow: scripts/start_vllm_server.sh serving on :12345 with model
+name "chatts" and ≤15 timeseries per prompt.  Same surface here, over the
+TPU continuous-batching engine with startup warmup.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", required=False, default=None)
+    parser.add_argument("--port", type=int, default=12345)
+    parser.add_argument("--max-batch-size", type=int, default=8)
+    parser.add_argument("--max-model-len", type=int, default=6144)
+    parser.add_argument("--no-warmup", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+
+    from chatts_tpu.core.config import tiny_config
+    from chatts_tpu.models import chatts, weights
+    from chatts_tpu.processor.processor import ChatTSProcessor
+    from chatts_tpu.serve.scheduler import ServeEngine
+    from chatts_tpu.serve.server import ChatTSServer
+
+    if args.model:
+        cfg, params, tokenizer = weights.from_pretrained(args.model)
+        eos = tuple(t for t in (getattr(tokenizer, "eos_token_id", None),) if t)
+    else:
+        print("[serve] no --model; tiny-random ChatTS for demonstration")
+        from tests.helpers import FakeTokenizer
+
+        cfg = tiny_config(vocab_size=512, hidden_size=128,
+                          intermediate_size=256, patch_size=16,
+                          max_sequence_length=1024)
+        params = chatts.init_params(cfg, jax.random.PRNGKey(0))
+        tokenizer = FakeTokenizer()
+        eos = ()
+
+    processor = ChatTSProcessor(tokenizer, cfg)
+    engine = ServeEngine(
+        params, cfg, processor,
+        max_batch_size=args.max_batch_size,
+        max_model_len=args.max_model_len,
+        eos_token_ids=eos,
+    )
+    if not args.no_warmup:
+        print("[serve] warming up prefill buckets...")
+        engine.warmup()
+    server = ChatTSServer(engine, tokenizer, port=args.port)
+    print(f"[serve] listening on :{args.port} (model name 'chatts')")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
