@@ -1,5 +1,9 @@
 """Benchmark: ChatTS-TPU decode throughput on the real chip.
 
+Configuration under test: fused qkv/gate_up projections, int8 weight-only
+quantization (per-output-channel), ragged Pallas decode attention, on-device
+chunked decode.
+
 Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 Details go to stderr.
@@ -72,8 +76,19 @@ def main():
     params = jax.block_until_ready(params)
     log(f"init params: {time.perf_counter() - t0:.1f}s")
 
+    # Production decode config: fused qkv/gate_up + int8 weight-only quant
+    # (halves the HBM-bound decode floor) + ragged decode attention.
+    from chatts_tpu.models import quantize
+
+    t0 = time.perf_counter()
+    qparams = jax.block_until_ready(
+        quantize.quantize_params(chatts.maybe_fuse(params))
+    )
+    log(f"fuse+quantize int8: {time.perf_counter() - t0:.1f}s")
+    del params
+
     proc = ChatTSProcessor(_Tok(), cfg)
-    engine = InferenceEngine(params, cfg)
+    engine = InferenceEngine(qparams, cfg, fuse=False)
 
     rng = np.random.default_rng(0)
     batch_size = 8
@@ -138,7 +153,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "decode_tokens_per_sec_per_chip_chatts2b_bf16_b8",
+                "metric": "decode_tokens_per_sec_per_chip_chatts2b_int8_b8",
                 "value": round(value, 2),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(vs_baseline, 3),

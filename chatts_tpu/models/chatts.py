@@ -40,6 +40,23 @@ def load_torch_state_dict(state_dict, cfg: ChatTSConfig, dtype=None) -> Params:
     }
 
 
+def maybe_fuse(params: Params) -> Params:
+    """Fuse qkv / gate_up projections when params live on a single device
+    (decode-throughput optimization; no-op for already-fused or TP-sharded
+    params)."""
+    layer0 = params["llm"]["layers"][0]
+    if "qkv_proj" in layer0["self_attn"]:
+        return params
+    kernel = layer0["self_attn"]["q_proj"]["kernel"]
+    sharding = getattr(kernel, "sharding", None)
+    if sharding is not None and len(getattr(sharding, "device_set", [1])) > 1:
+        return params
+    return {
+        "ts_encoder": params["ts_encoder"],
+        "llm": qwen.fuse_projections(params["llm"]),
+    }
+
+
 def merge_embeddings(
     token_embeds: jnp.ndarray,  # (B, T, H)
     patch_embeds: jnp.ndarray,  # (N, Pmax, H)

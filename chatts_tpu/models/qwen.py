@@ -64,7 +64,15 @@ def apply_rope(
 
 
 def _dense(x: jnp.ndarray, layer: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-    out = jnp.dot(x, layer["kernel"], preferred_element_type=jnp.float32)
+    if "kernel_q" in layer:
+        # Weight-only int8: the int8->bf16 convert fuses into the dot's HBM
+        # read; per-output-channel scales applied post-matmul (exact).
+        out = jnp.dot(
+            x, layer["kernel_q"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ) * layer["scales"]
+    else:
+        out = jnp.dot(x, layer["kernel"], preferred_element_type=jnp.float32)
     if "bias" in layer:
         out = out + layer["bias"].astype(jnp.float32)
     return out.astype(x.dtype)
@@ -84,14 +92,26 @@ def attention_block(
     kv_valid: jnp.ndarray,
     kv_positions: jnp.ndarray,
     attn_impl: str,
+    kv_lengths: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     b, t, _ = x.shape
     h, kvh, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     p = layer_params
 
-    q = _dense(x, p["q_proj"]).reshape(b, t, h, d)
-    k = _dense(x, p["k_proj"]).reshape(b, t, kvh, d)
-    v = _dense(x, p["v_proj"]).reshape(b, t, kvh, d)
+    if "qkv_proj" in p:
+        # Fused qkv: one large HBM-streaming matmul instead of three (the
+        # packing the reference delegates to vLLM's packed_modules_mapping,
+        # chatts_vllm.py:454-459).  Single-device layout: [q | k | v] along
+        # the output dim.
+        qkv = _dense(x, p["qkv_proj"])
+        q, k, v = jnp.split(qkv, [h * d, h * d + kvh * d], axis=-1)
+        q = q.reshape(b, t, h, d)
+        k = k.reshape(b, t, kvh, d)
+        v = v.reshape(b, t, kvh, d)
+    else:
+        q = _dense(x, p["q_proj"]).reshape(b, t, h, d)
+        k = _dense(x, p["k_proj"]).reshape(b, t, kvh, d)
+        v = _dense(x, p["v_proj"]).reshape(b, t, kvh, d)
 
     if cfg.qk_norm:
         q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
@@ -101,35 +121,72 @@ def attention_block(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
+    # Caches are head-major (B, KVH, S, D) — see runtime/kv_cache.py.
     if kv_cache is not None:
         k_cache, v_cache = kv_cache
+        kt = jnp.swapaxes(k, 1, 2).astype(k_cache.dtype)  # (B, KVH, T, D)
+        vt = jnp.swapaxes(v, 1, 2).astype(v_cache.dtype)
         if write_pos is None:
             # Prefill: write the whole block at offset 0, but attend over the
             # freshly computed T block only — no wasted FLOPs on the unused
             # tail of the cache capacity.
-            k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, 0, 0, 0))
-            v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, 0, 0, 0))
-            k_full, v_full = k, v
+            k_cache = jax.lax.dynamic_update_slice(k_cache, kt, (0, 0, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(v_cache, vt, (0, 0, 0, 0))
+            k_full, v_full = k, v  # (B, T, KVH, D) local block
             attn_kv_valid = kv_valid[:, :t]
             attn_kv_positions = kv_positions[:, :t]
+            cache_attend = False
         else:
-            # Decode / chunked prefill: per-row scatter at write_pos (B, T),
-            # then attend over the whole cache.
-            batch_idx = jnp.arange(b)[:, None]
-            k_cache = k_cache.at[batch_idx, write_pos].set(k.astype(k_cache.dtype))
-            v_cache = v_cache.at[batch_idx, write_pos].set(v.astype(v_cache.dtype))
-            k_full, v_full = k_cache, v_cache
+            # Decode / chunked prefill: per-(row, head) scatter at write_pos.
+            batch_idx = jnp.arange(b)[:, None, None]  # (B, 1, 1)
+            head_idx = jnp.arange(cfg.num_key_value_heads)[None, :, None]
+            pos_idx = write_pos[:, None, :]  # (B, 1, T)
+            k_cache = k_cache.at[batch_idx, head_idx, pos_idx].set(kt)
+            v_cache = v_cache.at[batch_idx, head_idx, pos_idx].set(vt)
+            k_full, v_full = k_cache, v_cache  # (B, KVH, S, D)
             attn_kv_valid = kv_valid
             attn_kv_positions = kv_positions
+            cache_attend = True
         new_cache = (k_cache, v_cache)
     else:
         k_full, v_full = k, v
         attn_kv_valid = kv_valid
         attn_kv_positions = kv_positions
         new_cache = None
+        cache_attend = False
+
+    if cache_attend:
+        # Single-token decode with known per-slot lengths: the ragged Pallas
+        # kernel streams only the valid KV prefix (bandwidth ∝ context, not
+        # capacity).  attn_impl="xla" forces the reference path.
+        use_ragged = (
+            t == 1
+            and kv_lengths is not None
+            and attn_impl in ("auto", "ragged")
+            and jax.default_backend() == "tpu"
+        )
+        if use_ragged:
+            from chatts_tpu.ops import ragged_decode_attention as rda
+
+            if rda.supported_hm(q[:, 0], k_full):
+                out = rda.ragged_decode_attention(
+                    q[:, 0].astype(q.dtype),
+                    k_full.astype(q.dtype),
+                    v_full.astype(q.dtype),
+                    kv_lengths,
+                    scale=d ** -0.5,
+                )[:, None]
+                out = out.reshape(b, t, h * d)
+                return _dense(out, p["o_proj"]), new_cache
+        # Fallback: einsum reference over the (B, KVH, S, D) cache view.
+        k_attn = jnp.swapaxes(k_full, 1, 2).astype(q.dtype)
+        v_attn = jnp.swapaxes(v_full, 1, 2).astype(q.dtype)
+    else:
+        k_attn = k_full.astype(q.dtype)
+        v_attn = v_full.astype(q.dtype)
 
     out = attention(
-        q, k_full.astype(q.dtype), v_full.astype(q.dtype),
+        q, k_attn, v_attn,
         q_positions=positions,
         kv_positions=attn_kv_positions,
         kv_valid=attn_kv_valid,
@@ -141,8 +198,12 @@ def attention_block(
 
 
 def mlp_block(layer_params: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
-    gate = _dense(x, layer_params["gate_proj"])
-    up = _dense(x, layer_params["up_proj"])
+    if "gate_up_proj" in layer_params:
+        gate_up = _dense(x, layer_params["gate_up_proj"])
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+    else:
+        gate = _dense(x, layer_params["gate_proj"])
+        up = _dense(x, layer_params["up_proj"])
     return _dense(jax.nn.silu(gate) * up, layer_params["down_proj"])
 
 
@@ -156,11 +217,12 @@ def decoder_layer(
     kv_valid,
     kv_positions,
     attn_impl: str,
+    kv_lengths=None,
 ):
     attn_in = rms_norm(x, layer_params["input_layernorm"], cfg.rms_norm_eps)
     attn_out, new_cache = attention_block(
         layer_params["self_attn"], attn_in, positions, cfg,
-        kv_cache, write_pos, kv_valid, kv_positions, attn_impl,
+        kv_cache, write_pos, kv_valid, kv_positions, attn_impl, kv_lengths,
     )
     x = x + attn_out
     mlp_in = rms_norm(x, layer_params["post_attention_layernorm"], cfg.rms_norm_eps)
@@ -187,6 +249,7 @@ def forward(
     kv_valid: Optional[jnp.ndarray] = None,
     kv_positions: Optional[jnp.ndarray] = None,
     attn_impl: str = "auto",
+    kv_lengths: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[List[Tuple[jnp.ndarray, jnp.ndarray]]]]:
     """Run the decoder stack. Returns (hidden (B,T,H), updated kv caches).
 
@@ -210,7 +273,7 @@ def forward(
         cache_i = kv_caches[i] if kv_caches is not None else None
         x, new_cache = decoder_layer(
             layer_params, x, positions, cfg,
-            cache_i, write_pos, kv_valid, kv_positions, attn_impl,
+            cache_i, write_pos, kv_valid, kv_positions, attn_impl, kv_lengths,
         )
         if new_caches is not None:
             new_caches.append(new_cache)
@@ -220,6 +283,8 @@ def forward(
 
 def compute_logits(params: Params, cfg: QwenConfig, hidden: jnp.ndarray) -> jnp.ndarray:
     """hidden (B, T, H) -> logits (B, T, V), float32."""
+    if "lm_head_q" in params:
+        return _dense(hidden, params["lm_head_q"]).astype(jnp.float32)
     if cfg.tie_word_embeddings or "lm_head" not in params:
         table = params["embed_tokens"]
         return jnp.dot(
@@ -228,6 +293,50 @@ def compute_logits(params: Params, cfg: QwenConfig, hidden: jnp.ndarray) -> jnp.
     return jnp.dot(
         hidden, params["lm_head"], preferred_element_type=jnp.float32
     ).astype(jnp.float32)
+
+
+def fuse_projections(params: Params) -> Params:
+    """Pack per-layer q/k/v kernels into qkv_proj and gate/up into
+    gate_up_proj (single large matmuls; better HBM streaming at decode).
+
+    Single-device layout only: the concatenated output dim must not be
+    TP-sharded (Megatron shards each constituent separately) — apply this
+    AFTER deciding against tensor parallelism, or keep unfused under a mesh.
+    """
+    new_layers = []
+    for layer in params["layers"]:
+        attn = dict(layer["self_attn"])
+        qkv = {
+            "kernel": jnp.concatenate(
+                [attn["q_proj"]["kernel"], attn["k_proj"]["kernel"],
+                 attn["v_proj"]["kernel"]], axis=1
+            )
+        }
+        if "bias" in attn["q_proj"]:
+            qkv["bias"] = jnp.concatenate(
+                [attn["q_proj"]["bias"], attn["k_proj"]["bias"],
+                 attn["v_proj"]["bias"]]
+            )
+        for key in ("q_proj", "k_proj", "v_proj"):
+            attn.pop(key)
+        attn["qkv_proj"] = qkv
+
+        mlp = dict(layer["mlp"])
+        mlp["gate_up_proj"] = {
+            "kernel": jnp.concatenate(
+                [mlp["gate_proj"]["kernel"], mlp["up_proj"]["kernel"]], axis=1
+            )
+        }
+        mlp.pop("gate_proj")
+        mlp.pop("up_proj")
+
+        new_layer = dict(layer)
+        new_layer["self_attn"] = attn
+        new_layer["mlp"] = mlp
+        new_layers.append(new_layer)
+    out = dict(params)
+    out["layers"] = new_layers
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -130,8 +130,8 @@ def shardings_for_params(
 
 
 def kv_cache_specs(num_layers: int) -> List[Tuple[P, P]]:
-    # (B, S, KVH, D): batch over dp, kv heads over tp.
-    spec = P(DATA_AXIS, None, MODEL_AXIS, None)
+    # (B, KVH, S, D) head-major: batch over dp, kv heads over tp.
+    spec = P(DATA_AXIS, MODEL_AXIS, None, None)
     return [(spec, spec) for _ in range(num_layers)]
 
 

@@ -86,7 +86,7 @@ def _decode_step(
     rng,
 ):
     b = tokens.shape[0]
-    cache_len = caches[0][0].shape[1]
+    cache_len = caches[0][0].shape[2]
     positions = cur_lens[:, None].astype(jnp.int32)
     embeds = qwen.embed_tokens(params["llm"], tokens[:, None])
     kv_positions = jnp.tile(jnp.arange(cache_len, dtype=jnp.int32)[None], (b, 1))
@@ -96,6 +96,7 @@ def _decode_step(
         kv_caches=caches, write_pos=positions,
         kv_valid=kv_valid, kv_positions=kv_positions,
         attn_impl=attn_impl,
+        kv_lengths=(cur_lens + 1).astype(jnp.int32),
     )
     logits = chatts.compute_logits(params, cfg, hidden)[:, 0]  # (B, V)
     next_token = sampling.sample(logits, rng, gen_cfg)
@@ -153,7 +154,10 @@ class InferenceEngine:
         donate_cache: bool = True,
         decode_chunk: int = 32,
         pad_id: int = 0,
+        fuse: bool = True,
     ):
+        if fuse:
+            params = chatts.maybe_fuse(params)
         self.params = params
         self.cfg = cfg
         self.cache_dtype = cache_dtype

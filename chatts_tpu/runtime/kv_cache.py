@@ -1,9 +1,12 @@
 """KV cache allocation for the batch inference engine.
 
-Dense per-slot layout: per layer a pair of (B, S, KVH, D) arrays.  This is the
-TPU replacement for the part of vLLM's paged KV machinery that batch inference
-actually needs (reference dependency: vLLM 0.8.5, SURVEY §2.4); the serving
-path adds slot reuse on top (``chatts_tpu.serve``).
+Dense per-slot layout: per layer a pair of **(B, KVH, S, D)** arrays —
+head-major so the ragged decode kernel can DMA per-(slot, head) blocks that
+stay aligned to the (S, D) tile (a (…, KVH, D) layout makes single-head
+slices unaligned under Mosaic's tiling).  This is the TPU replacement for the
+part of vLLM's paged KV machinery that batch inference actually needs
+(reference dependency: vLLM 0.8.5, SURVEY §2.4); the serving path adds slot
+reuse on top (``chatts_tpu.serve``).
 """
 from __future__ import annotations
 
@@ -19,7 +22,7 @@ LayerCache = Tuple[jnp.ndarray, jnp.ndarray]
 def allocate(
     cfg: QwenConfig, batch_size: int, max_seq_len: int, dtype=jnp.bfloat16
 ) -> List[LayerCache]:
-    shape = (batch_size, max_seq_len, cfg.num_key_value_heads, cfg.head_dim)
+    shape = (batch_size, cfg.num_key_value_heads, max_seq_len, cfg.head_dim)
     return [
         (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
         for _ in range(cfg.num_hidden_layers)

@@ -96,8 +96,8 @@ def _prefill_one(
     # Self-contained prefill over the T block; collect per-layer K/V.
     small_caches = [
         (
-            jnp.zeros((1, t) + c[0].shape[2:], c[0].dtype),
-            jnp.zeros((1, t) + c[1].shape[2:], c[1].dtype),
+            jnp.zeros((1, c[0].shape[1], t, c[0].shape[3]), c[0].dtype),
+            jnp.zeros((1, c[1].shape[1], t, c[1].shape[3]), c[1].dtype),
         )
         for c in caches
     ]
@@ -149,7 +149,7 @@ def _decode_all_slots(
     on device so the host syncs once per chunk.
     """
     b = tokens.shape[0]
-    cache_len = caches[0][0].shape[1]
+    cache_len = caches[0][0].shape[2]
     kv_positions = jnp.tile(jnp.arange(cache_len, dtype=jnp.int32)[None], (b, 1))
 
     def body(carry, _):
@@ -158,11 +158,13 @@ def _decode_all_slots(
         positions = cur_lens[:, None].astype(jnp.int32)
         embeds = qwen.embed_tokens(params["llm"], tokens[:, None])
         kv_valid = (kv_positions <= cur_lens[:, None]) & active[:, None]
+        kv_lengths = jnp.where(active, cur_lens + 1, 1).astype(jnp.int32)
         hidden, new_caches = qwen.forward(
             params["llm"], cfg.llm, embeds, positions,
             kv_caches=caches, write_pos=positions,
             kv_valid=kv_valid, kv_positions=kv_positions,
             attn_impl=attn_impl,
+            kv_lengths=kv_lengths,
         )
         logits = chatts.compute_logits(params, cfg, hidden)[:, 0]
         next_tok = sampling.sample_per_slot(logits, key, temperature, top_p)
@@ -198,7 +200,10 @@ class ServeEngine:
         decode_chunk: int = 8,
         eos_token_ids: Sequence[int] = (),
         seed: int = 0,
+        fuse: bool = True,
     ):
+        if fuse:
+            params = chatts.maybe_fuse(params)
         self.params = params
         self.cfg = cfg
         self.processor = processor
@@ -241,6 +246,9 @@ class ServeEngine:
         # Metrics.
         self.total_requests = 0
         self.total_output_tokens = 0
+        from chatts_tpu.utils.profiling import MetricsAggregator
+
+        self.metrics = MetricsAggregator()
 
     # -- public API --------------------------------------------------------
 
@@ -381,6 +389,7 @@ class ServeEngine:
             req.finish_reason = reason
             req.finished_s = time.perf_counter()
             self.total_output_tokens += len(req.output_tokens)
+            self.metrics.record_request(req)
             req.stream_queue.put(None)
         self.slots[slot] = None
         self.live_host[slot] = False
@@ -432,10 +441,12 @@ class ServeEngine:
     # -- metrics -----------------------------------------------------------
 
     def stats(self) -> Dict[str, Any]:
-        return {
+        out = {
             "active_slots": int(self.live_host.sum()),
             "max_batch_size": self.max_batch_size,
             "waiting": self.waiting.qsize(),
             "total_requests": self.total_requests,
             "total_output_tokens": self.total_output_tokens,
         }
+        out.update(self.metrics.summary())
+        return out
