@@ -80,6 +80,71 @@ def quantize_params(params: Dict[str, Any], quantize_lm_head: bool = True) -> Di
     }
 
 
+def init_quantized_params(cfg, key, fused: bool = True):
+    """Random-init a ChatTS model directly in the int8 layout (no full-size
+    bf16 intermediate — an 8B bf16 tree plus its int8 copy would not fit a
+    16 GB chip during conversion).  For capacity/perf proofs and profiling."""
+    import jax
+
+    from chatts_tpu.core.config import ChatTSConfig
+    from chatts_tpu.models import ts_encoder
+
+    assert isinstance(cfg, ChatTSConfig)
+    lcfg = cfg.llm
+    h, kvh, d, hid = (lcfg.num_attention_heads, lcfg.num_key_value_heads,
+                      lcfg.head_dim, lcfg.hidden_size)
+    keys = iter(jax.random.split(key, lcfg.num_hidden_layers * 8 + 4))
+
+    def qdense(fan_in, fan_out, bias):
+        k = next(keys)
+        out = {
+            "kernel_q": jax.random.randint(k, (fan_in, fan_out), -127, 128, jnp.int8),
+            "scales": jnp.full((fan_out,), 1.0 / (127 * np.sqrt(fan_in)), jnp.float32),
+        }
+        if bias:
+            out["bias"] = jnp.zeros((fan_out,), jnp.bfloat16)
+        return out
+
+    layers = []
+    for _ in range(lcfg.num_hidden_layers):
+        layer = {
+            "input_layernorm": jnp.ones((hid,), jnp.bfloat16),
+            "post_attention_layernorm": jnp.ones((hid,), jnp.bfloat16),
+            "self_attn": {},
+            "mlp": {},
+        }
+        if fused:
+            layer["self_attn"]["qkv_proj"] = qdense(
+                hid, (h + 2 * kvh) * d, lcfg.attention_bias
+            )
+            layer["mlp"]["gate_up_proj"] = qdense(hid, 2 * lcfg.intermediate_size, False)
+        else:
+            layer["self_attn"]["q_proj"] = qdense(hid, h * d, lcfg.attention_bias)
+            layer["self_attn"]["k_proj"] = qdense(hid, kvh * d, lcfg.attention_bias)
+            layer["self_attn"]["v_proj"] = qdense(hid, kvh * d, lcfg.attention_bias)
+            layer["mlp"]["gate_proj"] = qdense(hid, lcfg.intermediate_size, False)
+            layer["mlp"]["up_proj"] = qdense(hid, lcfg.intermediate_size, False)
+        layer["self_attn"]["o_proj"] = qdense(h * d, hid, False)
+        layer["mlp"]["down_proj"] = qdense(lcfg.intermediate_size, hid, False)
+        if lcfg.qk_norm:
+            layer["self_attn"]["q_norm"] = jnp.ones((d,), jnp.bfloat16)
+            layer["self_attn"]["k_norm"] = jnp.ones((d,), jnp.bfloat16)
+        layers.append(layer)
+
+    llm = {
+        "embed_tokens": (
+            jax.random.normal(next(keys), (lcfg.vocab_size, hid)) * 0.02
+        ).astype(jnp.bfloat16),
+        "layers": layers,
+        "norm": jnp.ones((hid,), jnp.bfloat16),
+        "lm_head_q": qdense(hid, lcfg.vocab_size, False),
+    }
+    return {
+        "ts_encoder": ts_encoder.init_params(cfg.ts, next(keys)),
+        "llm": llm,
+    }
+
+
 def param_bytes(params: Any) -> int:
     import jax
 

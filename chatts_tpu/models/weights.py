@@ -81,11 +81,15 @@ def load_checkpoint(
     *,
     dtype=jnp.bfloat16,
     mesh=None,
+    quantize_int8: bool = False,
 ) -> Tuple[ChatTSConfig, Dict[str, Any]]:
     """Load a ChatTS HF checkpoint directory into (config, params).
 
     With ``mesh`` given, every tensor is device_put with its TP sharding as it
-    streams in (chatts_tpu.parallel.sharding rules).
+    streams in (chatts_tpu.parallel.sharding rules).  With
+    ``quantize_int8=True`` every projection kernel is quantized per-tensor as
+    it streams (peak HBM = int8 model + one bf16 tensor), which is how an 8B
+    checkpoint fits a single 16 GB v5e chip.
     """
     if cfg is None:
         cfg = ChatTSConfig.from_pretrained(model_path)
@@ -120,12 +124,14 @@ def load_checkpoint(
         return jax.device_put(arr, shard_for(path_keys, arr.shape))
 
     def dense(name: str, bias: bool, path_keys, cast=dtype):
-        out = {
-            "kernel": place(
-                jnp.asarray(sd[name + ".weight"]).astype(cast).T,
-                path_keys + ("kernel",),
-            )
-        }
+        kernel = jnp.asarray(sd[name + ".weight"]).astype(cast).T
+        if quantize_int8:
+            from chatts_tpu.models.quantize import quantize_dense
+
+            out = quantize_dense({"kernel": kernel})
+            del kernel
+        else:
+            out = {"kernel": place(kernel, path_keys + ("kernel",))}
         if bias and name + ".bias" in sd:
             out["bias"] = place(
                 sd.get_jnp(name + ".bias", cast), path_keys + ("bias",)
@@ -185,10 +191,14 @@ def load_checkpoint(
         "norm": place(sd.get_jnp("model.norm.weight", dtype), ("llm", "norm")),
     }
     if not tied:
-        llm_params["lm_head"] = place(
-            jnp.asarray(sd["lm_head.weight"]).astype(dtype).T,
-            ("llm", "lm_head"),
-        )
+        lm_head = jnp.asarray(sd["lm_head.weight"]).astype(dtype).T
+        if quantize_int8:
+            from chatts_tpu.models.quantize import quantize_dense
+
+            llm_params["lm_head_q"] = quantize_dense({"kernel": lm_head})
+            del lm_head
+        else:
+            llm_params["lm_head"] = place(lm_head, ("llm", "lm_head"))
 
     # TS encoder: fp32 for numerical parity on value-QA (SURVEY §7).
     ts_params: Dict[str, Any] = {"mlp": []}

@@ -431,12 +431,26 @@ class ServeEngine:
 
     def _loop(self) -> None:
         while not self._stop.is_set():
-            self._admit()
-            if self.live_host.any():
-                self._decode_round()
-            else:
-                self._wake.wait(timeout=0.05)
-                self._wake.clear()
+            try:
+                self._admit()
+                if self.live_host.any():
+                    self._decode_round()
+                else:
+                    self._wake.wait(timeout=0.05)
+                    self._wake.clear()
+            except Exception as err:  # engine must survive a bad step:
+                # fail every in-flight request with the error and keep
+                # serving (the reference's worker pool dies silently here —
+                # llm_utils.py:187-190; we recover instead).
+                import traceback
+
+                traceback.print_exc()
+                for slot, req in enumerate(self.slots):
+                    if req is not None:
+                        req.error = f"engine step failed: {err}"
+                        req.stream_queue.put(None)
+                        self.slots[slot] = None
+                self.live_host[:] = False
 
     # -- metrics -----------------------------------------------------------
 

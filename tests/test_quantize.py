@@ -87,3 +87,54 @@ def test_fuse_then_quantize():
                            attn_impl="xla")
     rel = np.abs(np.asarray(h1) - np.asarray(h2)).max() / (np.abs(np.asarray(h1)).max() + 1e-9)
     assert rel < 0.1
+
+
+def test_init_quantized_params_direct():
+    cfg, _ = make()
+    from chatts_tpu.models.quantize import init_quantized_params
+
+    import jax
+
+    qp = init_quantized_params(cfg, jax.random.PRNGKey(0))
+    layer0 = qp["llm"]["layers"][0]
+    assert "qkv_proj" in layer0["self_attn"]
+    assert layer0["self_attn"]["qkv_proj"]["kernel_q"].dtype.name == "int8"
+    assert "lm_head_q" in qp["llm"]
+    # runs a forward pass
+    import jax.numpy as jnp
+    import numpy as np
+    from chatts_tpu.models import chatts
+
+    ids = np.arange(8)[None] % cfg.llm.vocab_size
+    pos = np.arange(8)[None]
+    hidden, _ = chatts.forward(qp, cfg, jnp.asarray(ids), jnp.asarray(pos),
+                               attn_impl="xla")
+    logits = chatts.compute_logits(qp, cfg, hidden)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_quantized_checkpoint_load(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from chatts_tpu.models import chatts, weights
+
+    cfg, params = make(seed=7)
+    weights.save_checkpoint(str(tmp_path), cfg, params)
+    cfg2, qparams = weights.load_checkpoint(
+        str(tmp_path), dtype=jnp.bfloat16, quantize_int8=True
+    )
+    assert "kernel_q" in qparams["llm"]["layers"][0]["self_attn"]["q_proj"]
+    assert "lm_head_q" in qparams["llm"]
+    ids = np.arange(8)[None] % cfg.llm.vocab_size
+    pos = np.arange(8)[None]
+
+    def logits(p, c):
+        hidden, _ = chatts.forward(p, c, jnp.asarray(ids), jnp.asarray(pos),
+                                   attn_impl="xla")
+        return np.asarray(chatts.compute_logits(p, c, hidden))
+
+    l_full = logits(params, cfg)
+    l_q = logits(qparams, cfg2)
+    rel = np.abs(l_full - l_q).max() / (np.abs(l_full).max() + 1e-9)
+    assert rel < 0.1
