@@ -158,11 +158,17 @@ def attention_block(
     if cache_attend:
         # Single-token decode with known per-slot lengths: the ragged Pallas
         # kernel streams only the valid KV prefix (bandwidth ∝ context, not
-        # capacity).  attn_impl="xla" forces the reference path.
+        # capacity).  Below ~2048 capacity the dense XLA read is small enough
+        # that per-layer kernel-launch overhead outweighs the saved bandwidth
+        # (measured on v5e), so "auto" only engages on large caches;
+        # attn_impl="ragged" forces it, "xla" forces the reference path.
         use_ragged = (
             t == 1
             and kv_lengths is not None
-            and attn_impl in ("auto", "ragged")
+            and (
+                attn_impl == "ragged"
+                or (attn_impl == "auto" and k_full.shape[2] >= 2048)
+            )
             and jax.default_backend() == "tpu"
         )
         if use_ragged:

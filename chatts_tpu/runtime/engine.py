@@ -191,8 +191,10 @@ class InferenceEngine:
         b, t = batch.input_ids.shape
         if cache_len is None:
             cache_len = t + gen_cfg.max_new_tokens
-            # Round cache capacity to a bucket to limit recompiles.
-            cache_len = -(-cache_len // 128) * 128
+            # Round cache capacity to a bucket to limit recompiles; 256 is
+            # also the ragged decode kernel's block size (capacity must be a
+            # multiple or the kernel disables itself).
+            cache_len = -(-cache_len // 256) * 256
 
         start = time.perf_counter()
         rng, step_key = jax.random.split(rng)
