@@ -88,7 +88,7 @@ def main():
     del params
 
     proc = ChatTSProcessor(_Tok(), cfg)
-    engine = InferenceEngine(qparams, cfg, fuse=False)
+    engine = InferenceEngine(qparams, cfg, fuse=False, decode_chunk=127)
 
     rng = np.random.default_rng(0)
     batch_size = 8

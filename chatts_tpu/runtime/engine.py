@@ -152,7 +152,7 @@ class InferenceEngine:
         cache_dtype=jnp.bfloat16,
         attn_impl: str = "auto",
         donate_cache: bool = True,
-        decode_chunk: int = 32,
+        decode_chunk: int = 64,
         pad_id: int = 0,
         fuse: bool = True,
     ):

@@ -68,36 +68,38 @@ class Request:
         return self.first_token_s - self.created_s
 
 
-def _prefill_one(
+def _prefill_batch(
     params,
     cfg: ChatTSConfig,
     attn_impl: str,
     caches,  # persistent big caches, donated
-    slot,  # scalar int32
-    input_ids,  # (1, T)
-    positions,  # (1, T)
-    seq_len,  # (1,)
+    slot_ids,  # (Bp,) int32 — target slot per row; >= B means padding (drop)
+    input_ids,  # (Bp, T)
+    positions,  # (Bp, T)
+    seq_lens,  # (Bp,)
     ts_values,
     ts_mask,
     scatter_seq,
     scatter_tok,
-    temperature,  # (1,) float32
-    top_p,  # (1,) float32
+    temperature,  # (Bp,) float32
+    top_p,  # (Bp,) float32
     rng,
 ):
-    """Prefill one request into cache slot ``slot``; returns updated caches
-    and the first sampled token."""
-    t = input_ids.shape[1]
+    """Prefill up to Bp requests in ONE forward pass and scatter each row's
+    prompt K/V into its cache slot (padding rows carry out-of-range slot ids
+    and are dropped).  Batched admission is what keeps serving prefill at
+    batch-engine efficiency instead of one jit call per request."""
+    bp, t = input_ids.shape
     embeds = chatts.input_embeddings(
         params, cfg, input_ids, ts_values, ts_mask, scatter_seq, scatter_tok
     )
-    kv_positions = jnp.arange(t, dtype=jnp.int32)[None]
-    kv_valid = kv_positions < seq_len[:, None]
+    kv_positions = jnp.tile(jnp.arange(t, dtype=jnp.int32)[None], (bp, 1))
+    kv_valid = kv_positions < seq_lens[:, None]
     # Self-contained prefill over the T block; collect per-layer K/V.
     small_caches = [
         (
-            jnp.zeros((1, c[0].shape[1], t, c[0].shape[3]), c[0].dtype),
-            jnp.zeros((1, c[1].shape[1], t, c[1].shape[3]), c[1].dtype),
+            jnp.zeros((bp, c[0].shape[1], t, c[0].shape[3]), c[0].dtype),
+            jnp.zeros((bp, c[1].shape[1], t, c[1].shape[3]), c[1].dtype),
         )
         for c in caches
     ]
@@ -107,23 +109,23 @@ def _prefill_one(
         kv_valid=kv_valid, kv_positions=kv_positions,
         attn_impl=attn_impl,
     )
-    # Insert the prompt K/V into the persistent cache at the slot row.
+    # Scatter each row's prompt K/V into its slot (first t positions only).
     new_caches = []
     for (big_k, big_v), (small_k, small_v) in zip(caches, small_caches):
-        big_k = jax.lax.dynamic_update_slice(
-            big_k, small_k.astype(big_k.dtype), (slot, 0, 0, 0)
+        big_k = big_k.at[slot_ids, :, :t].set(
+            small_k.astype(big_k.dtype), mode="drop"
         )
-        big_v = jax.lax.dynamic_update_slice(
-            big_v, small_v.astype(big_v.dtype), (slot, 0, 0, 0)
+        big_v = big_v.at[slot_ids, :, :t].set(
+            small_v.astype(big_v.dtype), mode="drop"
         )
         new_caches.append((big_k, big_v))
 
     last = jnp.take_along_axis(
-        hidden, (seq_len - 1)[:, None, None].astype(jnp.int32), axis=1
+        hidden, (seq_lens - 1)[:, None, None].astype(jnp.int32), axis=1
     )
-    logits = chatts.compute_logits(params, cfg, last)[:, 0]
-    token = sampling.sample_per_slot(logits, rng, temperature, top_p)[0]
-    return new_caches, token
+    logits = chatts.compute_logits(params, cfg, last)[:, 0]  # (Bp, V)
+    tokens = sampling.sample_per_slot(logits, rng, temperature, top_p)
+    return new_caches, tokens
 
 
 def _decode_all_slots(
@@ -229,7 +231,7 @@ class ServeEngine:
         self.live_host = np.zeros((b,), bool)
 
         self._prefill_jit = jax.jit(
-            _prefill_one,
+            _prefill_batch,
             static_argnames=("cfg", "attn_impl"),
             donate_argnames=("caches",),
         )
@@ -252,10 +254,19 @@ class ServeEngine:
 
     # -- public API --------------------------------------------------------
 
-    def warmup(self, prefill_buckets: Sequence[int] = (128, 256, 512)) -> None:
+    def warmup(
+        self,
+        prefill_buckets: Sequence[int] = (128, 256, 512),
+        series_per_request: int = 2,
+        series_len: int = 512,
+    ) -> None:
         """Pre-compile the decode step and the standard prefill buckets so the
-        first real request doesn't pay multi-second jit latency (cold-start
-        finding from live verification)."""
+        first real request doesn't pay multi-second jit latency.
+
+        Submits max_batch_size concurrent requests per bucket so the BATCHED
+        admission shape (full Bp rows, typical series buckets) is what gets
+        compiled — a single warm request would compile a different series
+        bucket and the first real burst would still recompile."""
         import numpy as np
 
         from chatts_tpu.core import encoding
@@ -264,16 +275,29 @@ class ServeEngine:
         for bucket in sorted(prefill_buckets):
             # ~1 token per short word; leave headroom for the template + TS
             # placeholders so the padded length lands in this bucket.
-            words = " ".join("warm" for _ in range(max(1, bucket - 32)))
-            prompt = f"{words} {encoding.TS_PAIR}"
-            try:
-                self.generate_sync(
-                    prompt, [np.arange(float(self.cfg.ts.patch_size * 4))],
-                    SamplingParams(max_tokens=self.decode_chunk + 2,
-                                   temperature=0.0),
-                )
-            except Exception as err:
-                print(f"[warmup] bucket {bucket} failed: {err}")
+            words = " ".join("warm" for _ in range(max(1, bucket - 64)))
+            holes = " ".join(encoding.TS_PAIR for _ in range(series_per_request))
+            prompt = f"{words} {holes}"
+            reqs = []
+            for _ in range(self.max_batch_size):
+                series = [
+                    np.sin(np.arange(float(series_len)))
+                    for _ in range(series_per_request)
+                ]
+                req = Request(prompt, series,
+                              SamplingParams(max_tokens=self.decode_chunk + 2,
+                                             temperature=0.0))
+                self.submit(req)
+                reqs.append(req)
+            deadline = time.time() + 600
+            for req in reqs:
+                while req.finished_s is None and req.error is None:
+                    if time.time() > deadline:
+                        print(f"[warmup] bucket {bucket} timed out")
+                        return
+                    time.sleep(0.01)
+                if req.error:
+                    print(f"[warmup] bucket {bucket} failed: {req.error}")
 
     def submit(self, request: Request) -> Request:
         self.total_requests += 1
@@ -322,66 +346,96 @@ class ServeEngine:
         return [i for i, s in enumerate(self.slots) if s is None]
 
     def _admit(self) -> None:
+        """Admit up to len(free slots) waiting requests with ONE batched
+        prefill call (a rejected request never poisons the batch: each is
+        validated individually first)."""
         free = self._free_slots()
-        while free and not self.waiting.empty():
+        admitted: List[Request] = []
+        while free and not self.waiting.empty() and len(admitted) < len(free):
             try:
                 req = self.waiting.get_nowait()
             except queue.Empty:
                 break
-            slot = free.pop(0)
             try:
-                self._prefill_request(slot, req)
-            except Exception as err:  # reject the request, keep serving
+                probe = self.processor([req.prompt], req.timeseries)
+                n_tok = int(probe.seq_lens[0])
+                if n_tok + req.params.max_tokens > self.max_model_len:
+                    raise ValueError(
+                        f"prompt ({n_tok}) + max_tokens "
+                        f"({req.params.max_tokens}) exceeds max_model_len "
+                        f"{self.max_model_len}"
+                    )
+                req.prompt_tokens = n_tok
+                admitted.append(req)
+            except Exception as err:
                 req.error = f"{type(err).__name__}: {err}"
                 req.stream_queue.put(None)
-                self.slots[slot] = None
-                self.live_host[slot] = False
+        if not admitted:
+            return
+        try:
+            self._prefill_requests(admitted, free[: len(admitted)])
+        except Exception as err:
+            for req in admitted:
+                req.error = f"{type(err).__name__}: {err}"
+                req.stream_queue.put(None)
 
-    def _prefill_request(self, slot: int, req: Request) -> None:
-        batch = self.processor([req.prompt], req.timeseries)
+    def _prefill_requests(self, reqs: List[Request], slots: List[int]) -> None:
+        bp = self.max_batch_size
+        k = len(reqs)
+        flat_series = [ts for req in reqs for ts in req.timeseries]
+        batch = self.processor([req.prompt for req in reqs], flat_series)
         t = batch.input_ids.shape[1]
-        if int(batch.seq_lens[0]) + req.params.max_tokens > self.max_model_len:
-            raise ValueError(
-                f"prompt ({int(batch.seq_lens[0])}) + max_tokens "
-                f"({req.params.max_tokens}) exceeds max_model_len "
-                f"{self.max_model_len}"
-            )
-        req.prompt_tokens = int(batch.seq_lens[0])
+
+        # Pad request rows to the fixed prefill batch (Bp = max_batch_size):
+        # one compile per token bucket, padding rows dropped via OOB slot ids.
+        input_ids = np.full((bp, t), self.processor.pad_token_id, np.int32)
+        input_ids[:k] = batch.input_ids
+        positions = np.tile(np.arange(t, dtype=np.int32), (bp, 1))
+        seq_lens = np.ones((bp,), np.int32)
+        seq_lens[:k] = batch.seq_lens
+        slot_ids = np.full((bp,), bp, np.int32)  # OOB sentinel
+        slot_ids[:k] = slots
+        temp = np.zeros((bp,), np.float32)
+        topp = np.ones((bp,), np.float32)
+        for i, req in enumerate(reqs):
+            temp[i] = req.params.temperature
+            topp[i] = req.params.top_p
 
         self.rng, key = jax.random.split(self.rng)
-        temp = jnp.asarray([req.params.temperature], jnp.float32)
-        topp = jnp.asarray([req.params.top_p], jnp.float32)
         self.caches, first = self._prefill_jit(
             self.params, self.cfg, self.attn_impl, self.caches,
-            jnp.int32(slot),
-            jnp.asarray(batch.input_ids),
-            jnp.asarray(batch.positions),
-            jnp.asarray(batch.seq_lens),
+            jnp.asarray(slot_ids),
+            jnp.asarray(input_ids),
+            jnp.asarray(positions),
+            jnp.asarray(seq_lens),
             jnp.asarray(batch.ts_values),
             jnp.asarray(batch.ts_mask),
             jnp.asarray(batch.scatter_seq),
             jnp.asarray(batch.scatter_tok),
-            temp, topp, key,
+            jnp.asarray(temp), jnp.asarray(topp), key,
         )
-        first_host = int(first)
-        req.first_token_s = time.perf_counter()
+        first_host = np.asarray(first)
+        now = time.perf_counter()
 
-        eos = set(self.eos_token_ids) | set(req.params.stop_token_ids)
-        self.slots[slot] = req
-        if first_host in eos or req.params.max_tokens <= 1:
-            if first_host not in eos:
-                req.output_tokens.append(first_host)
-                req.stream_queue.put([first_host])
-            self._finish(slot, "stop" if first_host in eos else "length")
-            return
-        req.output_tokens.append(first_host)
-        req.stream_queue.put([first_host])
-        self.live_host[slot] = True
-        self.tokens = self.tokens.at[slot].set(first_host)
-        self.cur_lens = self.cur_lens.at[slot].set(req.prompt_tokens)
-        self.temperature = self.temperature.at[slot].set(req.params.temperature)
-        self.top_p = self.top_p.at[slot].set(req.params.top_p)
-        self.budget = self.budget.at[slot].set(req.params.max_tokens - 1)
+        for i, (req, slot) in enumerate(zip(reqs, slots)):
+            tok = int(first_host[i])
+            req.first_token_s = now
+            eos = set(self.eos_token_ids) | set(req.params.stop_token_ids)
+            self.slots[slot] = req
+            if tok in eos or req.params.max_tokens <= 1:
+                if tok not in eos:
+                    req.output_tokens.append(tok)
+                    req.stream_queue.put([tok])
+                self._finish(slot, "stop" if tok in eos else "length")
+                continue
+            req.output_tokens.append(tok)
+            req.stream_queue.put([tok])
+            self.live_host[slot] = True
+            self.tokens = self.tokens.at[slot].set(tok)
+            self.cur_lens = self.cur_lens.at[slot].set(req.prompt_tokens)
+            self.temperature = self.temperature.at[slot].set(req.params.temperature)
+            self.top_p = self.top_p.at[slot].set(req.params.top_p)
+            self.budget = self.budget.at[slot].set(req.params.max_tokens - 1)
 
     def _finish(self, slot: int, reason: str) -> None:
         req = self.slots[slot]
