@@ -166,6 +166,9 @@ class ChatTSProcessor:
         *,
         pad_to_bucket: bool = True,
         use_native: Optional[bool] = None,
+        padding: bool = True,  # HF-processor signature compat (README.md:98)
+        return_tensors: Optional[str] = None,  # accepted and ignored (numpy)
+        vllm_flag: bool = False,  # reference kwarg compat (chatts_vllm.py:333)
     ) -> ProcessedBatch:
         """Process a batch.
 

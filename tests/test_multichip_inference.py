@@ -1,0 +1,71 @@
+"""Tensor-parallel inference on the virtual 8-device CPU mesh: sharded params
+through the real engine must reproduce the single-device greedy outputs
+(GSPMD propagates the TP layout; no code changes in the engine)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chatts_tpu.core.config import GenerationConfig, tiny_config
+from chatts_tpu.models import chatts
+from chatts_tpu.parallel import mesh as mesh_lib
+from chatts_tpu.parallel import sharding
+from chatts_tpu.processor.processor import ChatTSProcessor
+from chatts_tpu.runtime.engine import InferenceEngine
+from tests.helpers import FakeTokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config(vocab_size=256, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=8,
+                      num_key_value_heads=4, patch_size=4,
+                      max_sequence_length=64, ts_token_start_index=240)
+    params = chatts.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    proc = ChatTSProcessor(FakeTokenizer(vocab_limit=200), cfg)
+    return cfg, params, proc
+
+
+def test_tp_sharded_generate_matches_single_device(setup):
+    cfg, params, proc = setup
+    batch = proc(["analyze <ts><ts/> now", "and <ts><ts/> too"],
+                 [np.arange(12.0), np.sin(np.arange(8.0))])
+    gen = GenerationConfig(max_new_tokens=6, greedy=True)
+
+    ref = InferenceEngine(params, cfg, cache_dtype=jnp.float32,
+                          attn_impl="xla", fuse=False).generate(batch, gen)
+
+    mesh = mesh_lib.create_mesh(dp=1, tp=4, devices=jax.devices()[:4])
+    sharded = sharding.place_params(mesh, cfg, params)
+    q_kernel = sharded["llm"]["layers"][0]["self_attn"]["q_proj"]["kernel"]
+    assert len(q_kernel.sharding.device_set) == 4
+
+    eng = InferenceEngine(sharded, cfg, cache_dtype=jnp.float32,
+                          attn_impl="xla", fuse=False)
+    out = eng.generate(batch, gen)
+    assert out.token_ids == ref.token_ids
+
+
+def test_dp_tp_mesh_generate(setup):
+    cfg, params, proc = setup
+    batch = proc(["one <ts><ts/>", "two <ts><ts/>", "three <ts><ts/>",
+                  "four <ts><ts/>"],
+                 [np.arange(8.0) * (i + 1) for i in range(4)])
+    gen = GenerationConfig(max_new_tokens=4, greedy=True)
+    ref = InferenceEngine(params, cfg, cache_dtype=jnp.float32,
+                          attn_impl="xla", fuse=False).generate(batch, gen)
+
+    mesh = mesh_lib.create_mesh(dp=2, tp=4)
+    sharded = sharding.place_params(mesh, cfg, params)
+    out = InferenceEngine(sharded, cfg, cache_dtype=jnp.float32,
+                          attn_impl="xla", fuse=False).generate(batch, gen)
+    assert out.token_ids == ref.token_ids
+
+
+def test_maybe_fuse_refuses_sharded(setup):
+    cfg, params, proc = setup
+    mesh = mesh_lib.create_mesh(dp=1, tp=4, devices=jax.devices()[:4])
+    sharded = sharding.place_params(mesh, cfg, params)
+    fused = chatts.maybe_fuse(sharded)
+    # TP-sharded params must stay unfused (Megatron shards constituents).
+    assert "qkv_proj" not in fused["llm"]["layers"][0]["self_attn"]

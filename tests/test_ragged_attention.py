@@ -26,14 +26,6 @@ def reference_decode(q, k_cache, v_cache, lengths):
     return out[:, 0]
 
 
-def _interp_ragged(q, k, v, lengths, block=256):
-    with jax.disable_jit():
-        import chatts_tpu.ops.ragged_decode_attention as mod
-        # call the pallas_call in interpret mode by monkeypatching? simpler:
-        # re-run via interpret path below.
-    raise NotImplementedError
-
-
 @pytest.mark.parametrize("lengths", [[1024, 300, 1, 513], [256, 256, 256, 256]])
 def test_ragged_matches_reference(lengths):
     b, h, kvh, d, s = 4, 8, 4, 128, 1024

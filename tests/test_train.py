@@ -170,3 +170,29 @@ def test_stream_qa_helpers():
     prompt = build_chat_prompt([("q1", "a1")], "q2")
     assert "<|im_start|>user\nq1<|im_end|>" in prompt
     assert prompt.endswith("<|im_start|>assistant\n")
+
+
+def test_peft_adapter_round_trip(setup, tmp_path):
+    """Our adapter -> PEFT layout -> reload -> identical merge effect
+    (demo_lora load+merge parity)."""
+    cfg, params, proc = setup
+    from chatts_tpu.train.peft_io import load_peft_adapter, save_peft_adapter
+
+    lcfg = LoRAConfig(rank=4, alpha=8.0)
+    lora = init_lora(params, lcfg, jax.random.PRNGKey(9))
+    lora["layers"][1]["v_proj"]["b"] = (
+        jnp.ones_like(lora["layers"][1]["v_proj"]["b"]) * 0.02
+    )
+    save_peft_adapter(str(tmp_path / "adapter"), lcfg, lora)
+    assert (tmp_path / "adapter" / "adapter_model.safetensors").exists()
+    assert (tmp_path / "adapter" / "adapter_config.json").exists()
+
+    lcfg2, lora2 = load_peft_adapter(str(tmp_path / "adapter"))
+    assert lcfg2.rank == 4 and lcfg2.alpha == 8.0
+    m1 = merge_lora(params, lora, lcfg)
+    m2 = merge_lora(params, lora2, lcfg2)
+    np.testing.assert_allclose(
+        np.asarray(m1["llm"]["layers"][1]["self_attn"]["v_proj"]["kernel"]),
+        np.asarray(m2["llm"]["layers"][1]["self_attn"]["v_proj"]["kernel"]),
+        rtol=1e-6,
+    )
