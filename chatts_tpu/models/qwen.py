@@ -63,6 +63,17 @@ def apply_rope(
     return out.astype(x.dtype)
 
 
+def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(…, position) symmetric int8 over the head dim.
+    x (B, KVH, T, D) -> (int8 values, float32 scales (B, KVH, T))."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
 def _dense(x: jnp.ndarray, layer: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     if "kernel_q" in layer:
         # Weight-only int8: the int8->bf16 convert fuses into the dot's HBM
@@ -122,16 +133,32 @@ def attention_block(
     k = apply_rope(k, cos, sin)
 
     # Caches are head-major (B, KVH, S, D) — see runtime/kv_cache.py.
+    # A 4-tuple cache is the int8 mode: (k_q, v_q, k_scale, v_scale) with
+    # per-(slot, head, position) scales.
     if kv_cache is not None:
-        k_cache, v_cache = kv_cache
-        kt = jnp.swapaxes(k, 1, 2).astype(k_cache.dtype)  # (B, KVH, T, D)
-        vt = jnp.swapaxes(v, 1, 2).astype(v_cache.dtype)
+        int8_kv = len(kv_cache) == 4
+        if int8_kv:
+            k_cache, v_cache, k_scale, v_scale = kv_cache
+        else:
+            k_cache, v_cache = kv_cache
+            k_scale = v_scale = None
+        kt = jnp.swapaxes(k, 1, 2)  # (B, KVH, T, D)
+        vt = jnp.swapaxes(v, 1, 2)
+        if int8_kv:
+            kt, kt_s = _quantize_kv(kt)
+            vt, vt_s = _quantize_kv(vt)
+        else:
+            kt = kt.astype(k_cache.dtype)
+            vt = vt.astype(v_cache.dtype)
         if write_pos is None:
             # Prefill: write the whole block at offset 0, but attend over the
             # freshly computed T block only — no wasted FLOPs on the unused
             # tail of the cache capacity.
             k_cache = jax.lax.dynamic_update_slice(k_cache, kt, (0, 0, 0, 0))
             v_cache = jax.lax.dynamic_update_slice(v_cache, vt, (0, 0, 0, 0))
+            if int8_kv:
+                k_scale = jax.lax.dynamic_update_slice(k_scale, kt_s, (0, 0, 0))
+                v_scale = jax.lax.dynamic_update_slice(v_scale, vt_s, (0, 0, 0))
             k_full, v_full = k, v  # (B, T, KVH, D) local block
             attn_kv_valid = kv_valid[:, :t]
             attn_kv_positions = kv_positions[:, :t]
@@ -143,11 +170,17 @@ def attention_block(
             pos_idx = write_pos[:, None, :]  # (B, 1, T)
             k_cache = k_cache.at[batch_idx, head_idx, pos_idx].set(kt)
             v_cache = v_cache.at[batch_idx, head_idx, pos_idx].set(vt)
+            if int8_kv:
+                k_scale = k_scale.at[batch_idx, head_idx, pos_idx].set(kt_s)
+                v_scale = v_scale.at[batch_idx, head_idx, pos_idx].set(vt_s)
             k_full, v_full = k_cache, v_cache  # (B, KVH, S, D)
             attn_kv_valid = kv_valid
             attn_kv_positions = kv_positions
             cache_attend = True
-        new_cache = (k_cache, v_cache)
+        new_cache = (
+            (k_cache, v_cache, k_scale, v_scale) if int8_kv
+            else (k_cache, v_cache)
+        )
     else:
         k_full, v_full = k, v
         attn_kv_valid = kv_valid
@@ -162,6 +195,7 @@ def attention_block(
         # that per-layer kernel-launch overhead outweighs the saved bandwidth
         # (measured on v5e), so "auto" only engages on large caches;
         # attn_impl="ragged" forces it, "xla" forces the reference path.
+        int8_attend = kv_cache is not None and len(kv_cache) == 4
         use_ragged = (
             t == 1
             and kv_lengths is not None
@@ -175,18 +209,33 @@ def attention_block(
             from chatts_tpu.ops import ragged_decode_attention as rda
 
             if rda.supported_hm(q[:, 0], k_full):
-                out = rda.ragged_decode_attention(
-                    q[:, 0].astype(q.dtype),
-                    k_full.astype(q.dtype),
-                    v_full.astype(q.dtype),
-                    kv_lengths,
-                    scale=d ** -0.5,
-                )[:, None]
+                if int8_attend:
+                    out = rda.ragged_decode_attention_int8(
+                        q[:, 0].astype(q.dtype),
+                        k_full, v_full, k_scale, v_scale,
+                        kv_lengths,
+                        scale=d ** -0.5,
+                    )[:, None]
+                else:
+                    out = rda.ragged_decode_attention(
+                        q[:, 0].astype(q.dtype),
+                        k_full.astype(q.dtype),
+                        v_full.astype(q.dtype),
+                        kv_lengths,
+                        scale=d ** -0.5,
+                    )[:, None]
                 out = out.reshape(b, t, h * d)
                 return _dense(out, p["o_proj"]), new_cache
-        # Fallback: einsum reference over the (B, KVH, S, D) cache view.
-        k_attn = jnp.swapaxes(k_full, 1, 2).astype(q.dtype)
-        v_attn = jnp.swapaxes(v_full, 1, 2).astype(q.dtype)
+        # Fallback: einsum reference over the (B, KVH, S, D) cache view,
+        # dequantizing first in int8 mode.
+        if int8_attend:
+            k_deq = k_full.astype(jnp.float32) * k_scale[..., None]
+            v_deq = v_full.astype(jnp.float32) * v_scale[..., None]
+            k_attn = jnp.swapaxes(k_deq, 1, 2).astype(q.dtype)
+            v_attn = jnp.swapaxes(v_deq, 1, 2).astype(q.dtype)
+        else:
+            k_attn = jnp.swapaxes(k_full, 1, 2).astype(q.dtype)
+            v_attn = jnp.swapaxes(v_full, 1, 2).astype(q.dtype)
     else:
         k_attn = k_full.astype(q.dtype)
         v_attn = v_full.astype(q.dtype)

@@ -166,3 +166,155 @@ def supported_hm(q: jnp.ndarray, k_cache: jnp.ndarray, block: int = DEFAULT_BLOC
     b, h, d = q.shape
     _, kvh, s, _ = k_cache.shape
     return d in (64, 128, 256) and s % block == 0 and h % kvh == 0
+
+
+# ---------------------------------------------------------------------------
+# int8 KV variant: values stream as int8 (half the HBM bytes), per-token
+# scales ride along in VMEM (they are tiny: B*KVH*S*4 bytes) reshaped to
+# (B, KVH, nblk, BLOCK) so each block's scale row is tile-aligned.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_int8(
+    lengths_ref,  # scalar prefetch: (B,) int32
+    q_ref,  # (1, 1, G, D) VMEM
+    k_scales_ref,  # (1, 1, nblk, BLOCK) VMEM
+    v_scales_ref,  # (1, 1, nblk, BLOCK) VMEM
+    k_hbm,  # (B, KVH, S, D) int8 ANY/HBM
+    v_hbm,  # (B, KVH, S, D) int8 ANY/HBM
+    out_ref,  # (1, 1, G, D) VMEM
+    k_buf,  # (2, BLOCK, D) int8 VMEM scratch
+    v_buf,  # (2, BLOCK, D) int8 VMEM scratch
+    sem,  # (2, 2) DMA semaphores
+    *,
+    scale: float,
+    block: int,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    length = lengths_ref[b]
+    num_blocks = pl.cdiv(length, block)
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # (G, D)
+    g = q.shape[0]
+
+    def k_dma(slot, blk):
+        return pltpu.make_async_copy(
+            k_hbm.at[b, h, pl.ds(blk * block, block), :],
+            k_buf.at[slot], sem.at[slot, 0],
+        )
+
+    def v_dma(slot, blk):
+        return pltpu.make_async_copy(
+            v_hbm.at[b, h, pl.ds(blk * block, block), :],
+            v_buf.at[slot], sem.at[slot, 1],
+        )
+
+    @pl.when(num_blocks > 0)
+    def _start_first():
+        k_dma(0, 0).start()
+        v_dma(0, 0).start()
+
+    def body(blk, carry):
+        m_prev, l_prev, acc = carry
+        slot = blk % 2
+        nxt = (blk + 1) % 2
+
+        @pl.when(blk + 1 < num_blocks)
+        def _prefetch_next():
+            k_dma(nxt, blk + 1).start()
+            v_dma(nxt, blk + 1).start()
+
+        k_dma(slot, blk).wait()
+        v_dma(slot, blk).wait()
+
+        k_s = k_scales_ref[0, 0, blk]  # (BLOCK,)
+        v_s = v_scales_ref[0, 0, blk]
+        k = k_buf[slot].astype(jnp.float32) * k_s[:, None]
+        v = v_buf[slot].astype(jnp.float32) * v_s[:, None]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        pos = blk * block + jax.lax.broadcasted_iota(jnp.int32, (g, block), 1)
+        s = jnp.where(pos < length, s, _NEG_INF)
+
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(pos < length, p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc
+
+    m0 = jnp.full((g, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((g, 1), jnp.float32)
+    acc0 = jnp.zeros_like(q)
+    m, l, acc = jax.lax.fori_loop(0, num_blocks, body, (m0, l0, acc0))
+    safe_l = jnp.where(l > 0, l, 1.0)
+    out_ref[0, 0] = (acc / safe_l).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block"))
+def ragged_decode_attention_int8(
+    q: jnp.ndarray,  # (B, H, D)
+    k_cache: jnp.ndarray,  # (B, KVH, S, D) int8
+    v_cache: jnp.ndarray,  # (B, KVH, S, D) int8
+    k_scale: jnp.ndarray,  # (B, KVH, S) float32
+    v_scale: jnp.ndarray,  # (B, KVH, S) float32
+    lengths: jnp.ndarray,  # (B,) int32
+    *,
+    scale: Optional[float] = None,
+    block: int = DEFAULT_BLOCK,
+) -> jnp.ndarray:
+    b, h, d = q.shape
+    _, kvh, s, _ = k_cache.shape
+    g = h // kvh
+    if scale is None:
+        scale = d ** -0.5
+    if s % block != 0:
+        raise ValueError(f"cache capacity {s} must be a multiple of block {block}")
+    nblk = s // block
+    qg = q.reshape(b, kvh, g, d)
+    k_s4 = k_scale.reshape(b, kvh, nblk, block)
+    v_s4 = v_scale.reshape(b, kvh, nblk, block)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, kvh),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, g, d), lambda bi, hi, *_: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, nblk, block), lambda bi, hi, *_: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, nblk, block), lambda bi, hi, *_: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, g, d), lambda bi, hi, *_: (bi, hi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, block, d), jnp.int8),
+            pltpu.VMEM((2, block, d), jnp.int8),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_int8, scale=float(scale), block=block),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kvh, g, d), q.dtype),
+    )(lengths.astype(jnp.int32), qg, k_s4, v_s4, k_cache, v_cache)
+    return out.reshape(b, h, d)

@@ -22,7 +22,17 @@ LayerCache = Tuple[jnp.ndarray, jnp.ndarray]
 def allocate(
     cfg: QwenConfig, batch_size: int, max_seq_len: int, dtype=jnp.bfloat16
 ) -> List[LayerCache]:
+    """bf16 mode: per layer (k, v).  int8 mode (dtype=jnp.int8): per layer
+    (k_q, v_q, k_scale, v_scale) with per-(slot, head, position) float32
+    scales — halves KV bandwidth/capacity cost at near-lossless accuracy."""
     shape = (batch_size, cfg.num_key_value_heads, max_seq_len, cfg.head_dim)
+    if jnp.dtype(dtype) == jnp.int8:
+        sshape = shape[:3]
+        return [
+            (jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+             jnp.ones(sshape, jnp.float32), jnp.ones(sshape, jnp.float32))
+            for _ in range(cfg.num_hidden_layers)
+        ]
     return [
         (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
         for _ in range(cfg.num_hidden_layers)

@@ -138,3 +138,77 @@ def test_quantized_checkpoint_load(tmp_path):
     l_q = logits(qparams, cfg2)
     rel = np.abs(l_full - l_q).max() / (np.abs(l_full).max() + 1e-9)
     assert rel < 0.1
+
+
+def test_int8_kv_cache_decode_close_to_bf16():
+    """Decode with int8 KV caches must track the bf16-cache decode closely."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from chatts_tpu.core.config import GenerationConfig
+    from chatts_tpu.models import chatts
+    from chatts_tpu.processor.processor import ChatTSProcessor
+    from chatts_tpu.runtime.engine import InferenceEngine
+    from tests.helpers import FakeTokenizer
+
+    cfg, params = make(seed=11)
+    proc = ChatTSProcessor(FakeTokenizer(vocab_limit=200), cfg)
+    batch = proc(["compare <ts><ts/> caches", "again <ts><ts/>"],
+                 [np.arange(16.0), np.sin(np.arange(12.0)) * 4])
+    gen = GenerationConfig(max_new_tokens=10, greedy=True)
+    r_bf16 = InferenceEngine(params, cfg, cache_dtype=jnp.float32,
+                             attn_impl="xla", fuse=False).generate(batch, gen)
+    r_int8 = InferenceEngine(params, cfg, cache_dtype=jnp.int8,
+                             attn_impl="xla", fuse=False).generate(batch, gen)
+    # int8 KV is near-lossless: most greedy tokens agree on a random model
+    for a, b in zip(r_bf16.token_ids, r_int8.token_ids):
+        agree = sum(x == y for x, y in zip(a, b))
+        assert agree >= len(a) // 2, (a, b)
+
+
+def test_int8_kv_quantize_roundtrip():
+    import jax.numpy as jnp
+    import numpy as np
+    from chatts_tpu.models.qwen import _quantize_kv
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 3, (2, 4, 8, 128)), jnp.float32)
+    q, s = _quantize_kv(x)
+    assert q.dtype == jnp.int8 and s.shape == (2, 4, 8)
+    deq = np.asarray(q, np.float32) * np.asarray(s)[..., None]
+    rel = np.abs(deq - np.asarray(x)).max() / np.abs(np.asarray(x)).max()
+    assert rel < 0.01  # per-token int8: <1% relative error
+
+
+def test_ragged_int8_matches_dequant_reference():
+    """int8 ragged kernel (interpret mode) vs dequantized einsum reference."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import chatts_tpu.ops.ragged_decode_attention as mod
+    from chatts_tpu.models.qwen import _quantize_kv
+    from tests.test_ragged_attention import reference_decode
+
+    b, h, kvh, d, s = 2, 8, 4, 128, 512
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(0, 1, (b, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (b, kvh, s, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (b, kvh, s, d)), jnp.float32)
+    lens = jnp.asarray([512, 300], jnp.int32)
+    k_q, k_s = _quantize_kv(k)
+    v_q, v_s = _quantize_kv(v)
+    k_deq = k_q.astype(jnp.float32) * k_s[..., None]
+    v_deq = v_q.astype(jnp.float32) * v_s[..., None]
+    ref = reference_decode(q, k_deq, v_deq, lens)
+
+    orig = mod.pl.pallas_call
+    try:
+        mod.pl.pallas_call = functools.partial(orig, interpret=True)
+        out = mod.ragged_decode_attention_int8.__wrapped__(
+            q, k_q, v_q, k_s, v_s, lens
+        )
+    finally:
+        mod.pl.pallas_call = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
