@@ -104,6 +104,7 @@ def attention_block(
     kv_positions: jnp.ndarray,
     attn_impl: str,
     kv_lengths: Optional[jnp.ndarray] = None,
+    rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     b, t, _ = x.shape
     h, kvh, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -128,7 +129,11 @@ def attention_block(
         q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
 
-    cos, sin = rope_cos_sin(positions, d, cfg.rope_theta)
+    # RoPE tables depend only on positions: computed once per forward pass
+    # and threaded through (not rebuilt in all N layers).
+    cos, sin = rope if rope is not None else rope_cos_sin(
+        positions, d, cfg.rope_theta
+    )
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -273,11 +278,13 @@ def decoder_layer(
     kv_positions,
     attn_impl: str,
     kv_lengths=None,
+    rope=None,
 ):
     attn_in = rms_norm(x, layer_params["input_layernorm"], cfg.rms_norm_eps)
     attn_out, new_cache = attention_block(
         layer_params["self_attn"], attn_in, positions, cfg,
         kv_cache, write_pos, kv_valid, kv_positions, attn_impl, kv_lengths,
+        rope,
     )
     x = x + attn_out
     mlp_in = rms_norm(x, layer_params["post_attention_layernorm"], cfg.rms_norm_eps)
@@ -321,6 +328,7 @@ def forward(
         assert kv_valid is not None and kv_positions is not None
 
     x = inputs_embeds
+    rope = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
     new_caches: Optional[List[Tuple[jnp.ndarray, jnp.ndarray]]] = (
         [] if kv_caches is not None else None
     )
@@ -329,6 +337,7 @@ def forward(
         x, new_cache = decoder_layer(
             layer_params, x, positions, cfg,
             cache_i, write_pos, kv_valid, kv_positions, attn_impl, kv_lengths,
+            rope,
         )
         if new_caches is not None:
             new_caches.append(new_cache)

@@ -118,6 +118,12 @@ class ChatTSProcessor:
                 f"prompt has {len(parts) - 1} {encoding.TS_PAIR} holes but "
                 f"{len(timeseries)} series were given"
             )
+        if len(timeseries) > cfg.max_timeseries_per_prompt:
+            # reference limit: 50 series per prompt (chatts_vllm.py:220).
+            raise ValueError(
+                f"{len(timeseries)} series exceed the per-prompt limit of "
+                f"{cfg.max_timeseries_per_prompt}"
+            )
         ids: List[int] = list(
             self.tokenizer.encode(parts[0], add_special_tokens=False)
         )

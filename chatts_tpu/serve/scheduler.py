@@ -60,6 +60,12 @@ class Request:
     )
     finish_reason: Optional[str] = None
     error: Optional[str] = None
+    cancelled: bool = False
+
+    def cancel(self) -> None:
+        """Request cancellation (client disconnect); honored at the next
+        scheduler round."""
+        self.cancelled = True
 
     @property
     def ttft_s(self) -> Optional[float]:
@@ -356,6 +362,11 @@ class ServeEngine:
                 req = self.waiting.get_nowait()
             except queue.Empty:
                 break
+            if req.cancelled:
+                req.finish_reason = "cancelled"
+                req.finished_s = time.perf_counter()
+                req.stream_queue.put(None)
+                continue
             try:
                 probe = self.processor([req.prompt], req.timeseries)
                 n_tok = int(probe.seq_lens[0])
@@ -449,6 +460,10 @@ class ServeEngine:
         self.live_host[slot] = False
 
     def _decode_round(self) -> None:
+        # Honor cancellations before spending device time.
+        for slot, req in enumerate(self.slots):
+            if req is not None and req.cancelled and self.live_host[slot]:
+                self._finish(slot, "cancelled")
         eos_list = list(self.eos_token_ids) or [-1]
         self.rng, key = jax.random.split(self.rng)
         active = jnp.asarray(self.live_host)

@@ -210,3 +210,36 @@ def test_http_server_end_to_end(engine_setup):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_request_cancellation(engine_setup):
+    import time
+
+    with make_engine(engine_setup) as eng:
+        req = Request("cancel me <ts><ts/>", [np.arange(8.0)],
+                      SamplingParams(max_tokens=200, temperature=0.0))
+        eng.submit(req)
+        # let it start decoding, then cancel
+        while req.first_token_s is None and req.error is None:
+            time.sleep(0.01)
+        req.cancel()
+        deadline = time.time() + 60
+        while req.finished_s is None and req.error is None:
+            assert time.time() < deadline
+            time.sleep(0.01)
+        assert req.finish_reason == "cancelled"
+        assert len(req.output_tokens) < 200
+
+
+def test_series_limit_enforced(engine_setup):
+    cfg, params, proc = engine_setup
+    import dataclasses
+
+    small_cfg = dataclasses.replace(cfg, max_timeseries_per_prompt=2)
+    from chatts_tpu.processor.processor import ChatTSProcessor
+    from tests.helpers import FakeTokenizer
+
+    p2 = ChatTSProcessor(FakeTokenizer(vocab_limit=200), small_cfg)
+    with pytest.raises(ValueError, match="per-prompt limit"):
+        p2(["a <ts><ts/> b <ts><ts/> c <ts><ts/>"],
+           [np.arange(8.0)] * 3)
