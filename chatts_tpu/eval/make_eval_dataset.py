@@ -166,6 +166,102 @@ def build_dataset(
     return samples
 
 
+def build_mts_dataset(
+    num_samples: int,
+    seed: int = 0,
+    seq_len: int = 256,
+    encoding_method: str = "sp",
+) -> List[dict]:
+    """Multivariate samples exercising the correlation/cluster scorers:
+    a positive pair shares a change position, a negative series does not
+    (schema of the reference's MTS abilities: pair/label/explain +
+    cols/col_idx)."""
+    from chatts_tpu.datagen.align.mts_local_template_qa import LOCAL_CONFIG
+
+    gen = TimeSeriesGenerator(seed=seed)
+    rng = gen.rng
+    samples: List[dict] = []
+    while len(samples) < num_samples:
+        pos = int(rng.integers(int(0.1 * seq_len), int(0.8 * seq_len)))
+        series, pools = [], []
+        ok = True
+        for jitter in (0, int(rng.uniform(-8, 8)), None):
+            changes = [] if jitter is None else [(pos + jitter, None)]
+            pool = gen.generate_random_attributes(
+                LOCAL_CONFIG["overall_attribute"], LOCAL_CONFIG["change"],
+                changes, seq_len,
+            )
+            try:
+                ts, pool = gen.generate(pool, seq_len)
+            except (ValueError, IndexError):
+                ok = False
+                break
+            if jitter is not None and not pool["local"]:
+                ok = False
+                break
+            series.append(ts)
+            pools.append(pool)
+        if not ok:
+            continue
+
+        cols = ["Metric A", "Metric B", "Metric C"]
+        frags = []
+        for ts in series:
+            _, frag, _ = timeseries_encoding(ts, encoding_method)
+            frags.append(frag)
+        question = (
+            f"There are 3 metrics, each of length {seq_len}: "
+            f"Metric A: {frags[0]} Metric B: {frags[1]} Metric C: {frags[2]}. "
+            "Answer the following questions:"
+        )
+        # 1. fluctuation correlation (positive pair A-B)
+        q1 = (
+            f"From the perspective of local fluctuations, do Metric A and "
+            f"Metric B both have fluctuations near point {pos}? Answer yes or "
+            "no first; if yes, then list each metric and its fluctuation "
+            "type as 'metric, type;' pairs in the next sentence. Explain why "
+            "in one sentence at the end. Keep the whole answer on one line."
+        )
+        a_type = pools[0]["local"][0]["type"]
+        b_type = pools[1]["local"][0]["type"]
+        answer1 = (
+            f"Yes. Metric A, {a_type}; Metric B, {b_type}. Both metrics "
+            "fluctuate near the same point, indicating a shared cause."
+        )
+        attr1 = {
+            "label": True,
+            "pair": [["Metric A", a_type], ["Metric B", b_type]],
+            "explain": "Both metrics fluctuate near the same point.",
+        }
+        # 2. cluster membership
+        q2 = (
+            "From the perspective of the position of local fluctuations, "
+            "which metric(s) have similar local fluctuation characteristics "
+            "with Metric A? List 'metric, type;' pairs first, then explain "
+            "why in one sentence, all on one line."
+        )
+        answer2 = (
+            f"Metric A, {a_type}; Metric B, {b_type}. They fluctuate near "
+            "the same position."
+        )
+        attr2 = {
+            "cols": ["Metric A", "Metric B"],
+            "col_idx": [[0, a_type], [1, b_type]],
+            "explain": "They fluctuate near the same position.",
+        }
+        question += f"\n1. {q1}\n2. {q2}\nAnswer each on its own numbered line."
+        samples.append({
+            "question": question,
+            "timeseries": [ts.tolist() for ts in series],
+            "cols": cols,
+            "ability_types": ["local_correlation_inductive",
+                               "local_cluster_inductive"],
+            "attributes": [attr1, attr2],
+            "answer": f"1. {answer1}\n2. {answer2}",
+        })
+    return samples
+
+
 def main(output_path: str, num_samples: int = 100, seed: int = 0,
          seq_len: Optional[int] = 256) -> int:
     samples = build_dataset(num_samples, seed, seq_len)

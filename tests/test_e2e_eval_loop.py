@@ -92,3 +92,34 @@ def test_tiny_model_end_to_end(tmp_path):
         assert summary["consumed_tokens"] > 0
     finally:
         client.kill()
+
+
+def test_mts_correlation_samples_schema_and_scoring(tmp_path):
+    from chatts_tpu.eval.make_eval_dataset import build_mts_dataset
+
+    samples = build_mts_dataset(3, seed=0, seq_len=128)
+    assert len(samples) == 3
+    for s in samples:
+        assert s["ability_types"] == ["local_correlation_inductive",
+                                      "local_cluster_inductive"]
+        assert len(s["timeseries"]) == 3
+        assert s["question"].count("<ts><ts/>") == 3
+
+    class Oracle:
+        def __init__(self, dataset):
+            self.by_prompt = {x["question"]: x["answer"] for x in dataset}
+
+        def llm_batch_generate(self, prompts, ts_lists=None, **kw):
+            out = []
+            for p in prompts:
+                body = p.split("<|im_start|>user\n", 1)[1].rsplit("<|im_end|>", 1)[0]
+                out.append(self.by_prompt[body])
+            return out
+
+    from chatts_tpu.eval.inference import evaluate_experiment, run_inference
+
+    run_inference(samples, Oracle(samples), "mts_exp", exp_root=str(tmp_path))
+    summary = evaluate_experiment(samples, "mts_exp", exp_root=str(tmp_path),
+                                  num_workers=1)
+    # oracle answers must hit both categorical scorers
+    assert summary["overall_categorical"] >= 0.99
