@@ -105,6 +105,7 @@ def attention_block(
     attn_impl: str,
     kv_lengths: Optional[jnp.ndarray] = None,
     rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    kv_limit: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     b, t, _ = x.shape
     h, kvh, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -181,6 +182,19 @@ def attention_block(
             k_full, v_full = k_cache, v_cache  # (B, KVH, S, D)
             attn_kv_valid = kv_valid
             attn_kv_positions = kv_positions
+            if kv_limit is not None and kv_limit < k_cache.shape[2]:
+                # Chunked prefill: attend over only the written-prefix slice
+                # of the cache (static bound), not the full capacity — saves
+                # HBM reads proportional to the unwritten tail.
+                k_full = jax.lax.slice_in_dim(k_cache, 0, kv_limit, axis=2)
+                v_full = jax.lax.slice_in_dim(v_cache, 0, kv_limit, axis=2)
+                if int8_kv:
+                    k_scale_att = jax.lax.slice_in_dim(k_scale, 0, kv_limit, axis=2)
+                    v_scale_att = jax.lax.slice_in_dim(v_scale, 0, kv_limit, axis=2)
+                attn_kv_valid = kv_valid[:, :kv_limit]
+                attn_kv_positions = kv_positions[:, :kv_limit]
+            elif int8_kv:
+                k_scale_att, v_scale_att = k_scale, v_scale
             cache_attend = True
         new_cache = (
             (k_cache, v_cache, k_scale, v_scale) if int8_kv
@@ -217,7 +231,7 @@ def attention_block(
                 if int8_attend:
                     out = rda.ragged_decode_attention_int8(
                         q[:, 0].astype(q.dtype),
-                        k_full, v_full, k_scale, v_scale,
+                        k_full, v_full, k_scale_att, v_scale_att,
                         kv_lengths,
                         scale=d ** -0.5,
                     )[:, None]
@@ -234,8 +248,8 @@ def attention_block(
         # Fallback: einsum reference over the (B, KVH, S, D) cache view,
         # dequantizing first in int8 mode.
         if int8_attend:
-            k_deq = k_full.astype(jnp.float32) * k_scale[..., None]
-            v_deq = v_full.astype(jnp.float32) * v_scale[..., None]
+            k_deq = k_full.astype(jnp.float32) * k_scale_att[..., None]
+            v_deq = v_full.astype(jnp.float32) * v_scale_att[..., None]
             k_attn = jnp.swapaxes(k_deq, 1, 2).astype(q.dtype)
             v_attn = jnp.swapaxes(v_deq, 1, 2).astype(q.dtype)
         else:
@@ -279,12 +293,13 @@ def decoder_layer(
     attn_impl: str,
     kv_lengths=None,
     rope=None,
+    kv_limit=None,
 ):
     attn_in = rms_norm(x, layer_params["input_layernorm"], cfg.rms_norm_eps)
     attn_out, new_cache = attention_block(
         layer_params["self_attn"], attn_in, positions, cfg,
         kv_cache, write_pos, kv_valid, kv_positions, attn_impl, kv_lengths,
-        rope,
+        rope, kv_limit,
     )
     x = x + attn_out
     mlp_in = rms_norm(x, layer_params["post_attention_layernorm"], cfg.rms_norm_eps)
@@ -312,6 +327,7 @@ def forward(
     kv_positions: Optional[jnp.ndarray] = None,
     attn_impl: str = "auto",
     kv_lengths: Optional[jnp.ndarray] = None,
+    kv_limit: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[List[Tuple[jnp.ndarray, jnp.ndarray]]]]:
     """Run the decoder stack. Returns (hidden (B,T,H), updated kv caches).
 
@@ -337,7 +353,7 @@ def forward(
         x, new_cache = decoder_layer(
             layer_params, x, positions, cfg,
             cache_i, write_pos, kv_valid, kv_positions, attn_impl, kv_lengths,
-            rope,
+            rope, kv_limit,
         )
         if new_caches is not None:
             new_caches.append(new_cache)

@@ -162,10 +162,14 @@ def ragged_decode_attention(
 
 
 def supported_hm(q: jnp.ndarray, k_cache: jnp.ndarray, block: int = DEFAULT_BLOCK) -> bool:
-    """Head-major (B, KVH, S, D) cache support check."""
+    """Head-major (B, KVH, S, D) cache support check.
+
+    D must be a multiple of 128: the per-head HBM DMA slices the cache's last
+    dimension, and Mosaic requires that slice aligned to the (8, 128) tile
+    (D=64 fails with "Slice shape along dimension 3 must be aligned")."""
     b, h, d = q.shape
     _, kvh, s, _ = k_cache.shape
-    return d in (64, 128, 256) and s % block == 0 and h % kvh == 0
+    return d in (128, 256) and s % block == 0 and h % kvh == 0
 
 
 # ---------------------------------------------------------------------------

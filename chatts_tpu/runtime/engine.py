@@ -75,6 +75,53 @@ def _prefill(
     return caches, next_token
 
 
+def _embed_prompt(params, cfg, input_ids, ts_values, ts_mask, scatter_seq, scatter_tok):
+    return chatts.input_embeddings(
+        params, cfg, input_ids, ts_values, ts_mask, scatter_seq, scatter_tok
+    )
+
+
+def _prefill_chunk(
+    params,
+    cfg: ChatTSConfig,
+    attn_impl: str,
+    kv_limit: int,
+    caches,
+    embeds,  # (B, C, H) chunk of merged input embeddings
+    positions,  # (B, C)
+    write_slots,  # (B, C) absolute cache slots for this chunk
+    seq_lens,  # (B,)
+):
+    """One transformer pass over a prompt chunk, writing KV at write_slots.
+
+    Chunked prefill bounds compile shapes and activation memory for long
+    prompts: each (chunk, kv_limit) pair compiles once and is reused across
+    prompts of any length.  Correctness falls out of positions-based masking
+    (ops/attention.py): unwritten cache slots carry kv_positions greater than
+    every query position in the chunk, so they are causally masked, and slots
+    beyond a row's seq_len stay kv_valid=False forever.
+    """
+    b = embeds.shape[0]
+    cache_len = caches[0][0].shape[2]
+    kv_positions = jnp.tile(jnp.arange(cache_len, dtype=jnp.int32)[None], (b, 1))
+    kv_valid = kv_positions < seq_lens[:, None]
+    hidden, caches = qwen.forward(
+        params["llm"], cfg.llm, embeds, positions,
+        kv_caches=caches, write_pos=write_slots,
+        kv_valid=kv_valid, kv_positions=kv_positions,
+        attn_impl=attn_impl, kv_limit=kv_limit,
+    )
+    return hidden, caches
+
+
+def _sample_last(params, cfg, gen_cfg, hidden, seq_lens, rng):
+    last = jnp.take_along_axis(
+        hidden, (seq_lens - 1)[:, None, None].astype(jnp.int32), axis=1
+    )
+    logits = chatts.compute_logits(params, cfg, last)[:, 0]
+    return sampling.sample(logits, rng, gen_cfg)
+
+
 def _decode_step(
     params,
     cfg: ChatTSConfig,
@@ -155,6 +202,7 @@ class InferenceEngine:
         decode_chunk: int = 64,
         pad_id: int = 0,
         fuse: bool = True,
+        prefill_chunk: Optional[int] = None,
     ):
         if fuse:
             params = chatts.maybe_fuse(params)
@@ -164,6 +212,10 @@ class InferenceEngine:
         self.attn_impl = attn_impl
         self.decode_chunk = decode_chunk
         self.pad_id = pad_id
+        # Prompts longer than prefill_chunk are prefilled in fixed-size
+        # chunks (one compile per (chunk, kv_limit) pair, reused across
+        # prompt lengths) instead of one monolithic block.
+        self.prefill_chunk = prefill_chunk
         self._prefill_jit = jax.jit(
             functools.partial(_prefill),
             static_argnames=("cfg", "cache_len", "cache_dtype", "attn_impl", "gen_cfg"),
@@ -176,6 +228,63 @@ class InferenceEngine:
         self._decode_chunk_jit = jax.jit(
             functools.partial(_decode_chunk), **decode_kwargs
         )
+        self._embed_jit = jax.jit(_embed_prompt, static_argnames=("cfg",))
+        self._prefill_chunk_jit = jax.jit(
+            _prefill_chunk,
+            static_argnames=("cfg", "attn_impl", "kv_limit"),
+            donate_argnames=("caches",) if donate_cache else (),
+        )
+        self._sample_last_jit = jax.jit(
+            _sample_last, static_argnames=("cfg", "gen_cfg")
+        )
+
+    def _chunked_prefill(self, batch: ProcessedBatch, gen_cfg, cache_len, rng):
+        """Prefill a long prompt in fixed-size chunks.
+
+        Embeddings (token + TS merge) are computed once over the full prompt;
+        the transformer then runs chunk by chunk, writing KV at absolute slot
+        indices and attending over a statically-sliced cache prefix
+        (kv_limit), so compile shapes stay bounded regardless of prompt
+        length."""
+        b, t = batch.input_ids.shape
+        c = self.prefill_chunk
+        t_pad = -(-t // c) * c
+        embeds = self._embed_jit(
+            self.params, self.cfg,
+            jnp.asarray(batch.input_ids),
+            jnp.asarray(batch.ts_values),
+            jnp.asarray(batch.ts_mask),
+            jnp.asarray(batch.scatter_seq),
+            jnp.asarray(batch.scatter_tok),
+        )
+        positions = jnp.asarray(batch.positions)
+        if t_pad > t:
+            embeds = jnp.pad(embeds, ((0, 0), (0, t_pad - t), (0, 0)))
+            positions = jnp.pad(positions, ((0, 0), (0, t_pad - t)),
+                                mode="edge")
+        seq_lens = jnp.asarray(batch.seq_lens)
+        caches = kv_cache.allocate(self.cfg.llm, b, cache_len, self.cache_dtype)
+
+        # kv_limit steps in coarse increments so compiles are shared across
+        # several consecutive chunks (and across prompts of differing length).
+        kv_step = max(2 * c, 2048)
+        hiddens = []
+        for o in range(0, t_pad, c):
+            kv_limit = min(cache_len, -(-(o + c) // kv_step) * kv_step)
+            write_slots = jnp.tile(
+                jnp.arange(o, o + c, dtype=jnp.int32)[None], (b, 1)
+            )
+            hidden, caches = self._prefill_chunk_jit(
+                self.params, self.cfg, self.attn_impl, kv_limit,
+                caches, embeds[:, o:o + c], positions[:, o:o + c],
+                write_slots, seq_lens,
+            )
+            hiddens.append(hidden)
+        full_hidden = jnp.concatenate(hiddens, axis=1)
+        next_token = self._sample_last_jit(
+            self.params, self.cfg, gen_cfg, full_hidden, seq_lens, rng
+        )
+        return caches, next_token
 
     def generate(
         self,
@@ -189,8 +298,18 @@ class InferenceEngine:
         if rng is None:
             rng = jax.random.PRNGKey(0)
         b, t = batch.input_ids.shape
+        chunked = self.prefill_chunk is not None and t > self.prefill_chunk
         if cache_len is None:
             cache_len = t + gen_cfg.max_new_tokens
+            if chunked:
+                # Chunk writes cover the whole padded prompt, and capacity
+                # buckets coarsely (kv_step multiples) so the per-chunk
+                # compiles — keyed on the cache shape — are shared across
+                # prompts of different lengths.
+                kv_step = max(2 * self.prefill_chunk, 2048)
+                cache_len = max(cache_len, -(-t // self.prefill_chunk)
+                                * self.prefill_chunk)
+                cache_len = -(-cache_len // kv_step) * kv_step
             # Round cache capacity to a bucket to limit recompiles; 256 is
             # also the ragged decode kernel's block size (capacity must be a
             # multiple or the kernel disables itself).
@@ -198,18 +317,23 @@ class InferenceEngine:
 
         start = time.perf_counter()
         rng, step_key = jax.random.split(rng)
-        caches, next_token = self._prefill_jit(
-            self.params, self.cfg, cache_len, self.cache_dtype,
-            self.attn_impl, gen_cfg,
-            jnp.asarray(batch.input_ids),
-            jnp.asarray(batch.positions),
-            jnp.asarray(batch.seq_lens),
-            jnp.asarray(batch.ts_values),
-            jnp.asarray(batch.ts_mask),
-            jnp.asarray(batch.scatter_seq),
-            jnp.asarray(batch.scatter_tok),
-            step_key,
-        )
+        if chunked:
+            caches, next_token = self._chunked_prefill(
+                batch, gen_cfg, cache_len, step_key
+            )
+        else:
+            caches, next_token = self._prefill_jit(
+                self.params, self.cfg, cache_len, self.cache_dtype,
+                self.attn_impl, gen_cfg,
+                jnp.asarray(batch.input_ids),
+                jnp.asarray(batch.positions),
+                jnp.asarray(batch.seq_lens),
+                jnp.asarray(batch.ts_values),
+                jnp.asarray(batch.ts_mask),
+                jnp.asarray(batch.scatter_seq),
+                jnp.asarray(batch.scatter_tok),
+                step_key,
+            )
         first_tokens = np.asarray(next_token)
         ttft = time.perf_counter() - start
 

@@ -128,3 +128,44 @@ def test_decode_consistent_with_full_forward_through_engine():
         )
         logits = chatts.compute_logits(params, cfg, hidden)
         assert int(np.argmax(np.asarray(logits)[0, -1])) == gen_ids[step]
+
+
+def test_chunked_prefill_matches_monolithic():
+    """Long-prompt chunked prefill must be token-exact vs one-block prefill,
+    in bf16-like f32 caches and in int8 KV mode, uneven row lengths included."""
+    cfg, params = make_model(seed=5)
+    proc = ChatTSProcessor(FakeTokenizer(), cfg)
+    # Two rows with very different lengths so chunk boundaries straddle both
+    # a mid-chunk row end and padded tail chunks.
+    long_text = " ".join(["point"] * 60)
+    batch = proc(
+        [f"analyze <ts><ts/> {long_text}", "short <ts><ts/> row"],
+        [np.sin(np.arange(64.0)) * 4.0, np.arange(16.0)],
+    )
+    gen = GenerationConfig(max_new_tokens=6, greedy=True)
+
+    base = InferenceEngine(params, cfg, cache_dtype=jnp.float32, attn_impl="xla")
+    expected = base.generate(batch, gen)
+
+    for chunk in (16, 32):
+        eng = InferenceEngine(params, cfg, cache_dtype=jnp.float32,
+                              attn_impl="xla", prefill_chunk=chunk)
+        got = eng.generate(batch, gen)
+        assert got.token_ids == expected.token_ids, f"chunk={chunk}"
+
+    # int8 KV-cache mode: chunked and monolithic must agree with each other.
+    base_i8 = InferenceEngine(params, cfg, cache_dtype=jnp.int8, attn_impl="xla")
+    eng_i8 = InferenceEngine(params, cfg, cache_dtype=jnp.int8,
+                             attn_impl="xla", prefill_chunk=16)
+    assert (eng_i8.generate(batch, gen).token_ids
+            == base_i8.generate(batch, gen).token_ids)
+
+
+def test_short_prompt_skips_chunking():
+    cfg, params = make_model(seed=6)
+    proc = ChatTSProcessor(FakeTokenizer(), cfg)
+    eng = InferenceEngine(params, cfg, cache_dtype=jnp.float32,
+                          attn_impl="xla", prefill_chunk=4096)
+    batch = proc(["tiny <ts><ts/>"], [np.arange(8.0)])
+    r = eng.generate(batch, GenerationConfig(max_new_tokens=4, greedy=True))
+    assert all(len(t) == 4 for t in r.token_ids)
