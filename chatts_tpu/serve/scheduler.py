@@ -102,10 +102,18 @@ def _prefill_batch(
     kv_positions = jnp.tile(jnp.arange(t, dtype=jnp.int32)[None], (bp, 1))
     kv_valid = kv_positions < seq_lens[:, None]
     # Self-contained prefill over the T block; collect per-layer K/V.
+    # int8 KV mode (4-tuple caches): small caches carry per-token scales too,
+    # quantized by the same _quantize_kv path the decode step uses.
+    int8_kv = len(caches[0]) == 4
     small_caches = [
         (
             jnp.zeros((bp, c[0].shape[1], t, c[0].shape[3]), c[0].dtype),
             jnp.zeros((bp, c[1].shape[1], t, c[1].shape[3]), c[1].dtype),
+        )
+        + (
+            (jnp.ones((bp, c[0].shape[1], t), jnp.float32),
+             jnp.ones((bp, c[1].shape[1], t), jnp.float32))
+            if int8_kv else ()
         )
         for c in caches
     ]
@@ -117,14 +125,11 @@ def _prefill_batch(
     )
     # Scatter each row's prompt K/V into its slot (first t positions only).
     new_caches = []
-    for (big_k, big_v), (small_k, small_v) in zip(caches, small_caches):
-        big_k = big_k.at[slot_ids, :, :t].set(
-            small_k.astype(big_k.dtype), mode="drop"
-        )
-        big_v = big_v.at[slot_ids, :, :t].set(
-            small_v.astype(big_v.dtype), mode="drop"
-        )
-        new_caches.append((big_k, big_v))
+    for big, small in zip(caches, small_caches):
+        new_caches.append(tuple(
+            b.at[slot_ids, :, :t].set(s.astype(b.dtype), mode="drop")
+            for b, s in zip(big, small)
+        ))
 
     last = jnp.take_along_axis(
         hidden, (seq_lens - 1)[:, None, None].astype(jnp.int32), axis=1

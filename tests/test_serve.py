@@ -243,3 +243,24 @@ def test_series_limit_enforced(engine_setup):
     with pytest.raises(ValueError, match="per-prompt limit"):
         p2(["a <ts><ts/> b <ts><ts/> c <ts><ts/>"],
            [np.arange(8.0)] * 3)
+
+
+def test_int8_kv_serving_matches_batch_engine(engine_setup):
+    """Serving with an int8-quantized KV cache (4-tuple caches with per-token
+    scales) must follow the same numerics as the batch engine in int8 mode."""
+    cfg, params, proc = engine_setup
+    from chatts_tpu.core.config import GenerationConfig
+    from chatts_tpu.runtime.engine import InferenceEngine
+
+    prompt = "int8 <ts><ts/> serving"
+    ts = [np.arange(12.0)]
+    batch_engine = InferenceEngine(params, cfg, cache_dtype=jnp.int8,
+                                   attn_impl="xla")
+    expected = batch_engine.generate(
+        proc([prompt], ts), GenerationConfig(max_new_tokens=6, greedy=True)
+    ).token_ids[0]
+
+    with make_engine(engine_setup, cache_dtype=jnp.int8) as eng:
+        req = eng.generate_sync(prompt, ts,
+                                SamplingParams(max_tokens=6, temperature=0.0))
+    assert req.output_tokens == expected
