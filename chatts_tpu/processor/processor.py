@@ -48,7 +48,20 @@ def bucket_count(n: int) -> int:
 
 
 def bucket_tokens(n: int, multiple: int = TOKEN_BUCKET_MULTIPLE) -> int:
-    return max(multiple, -(-n // multiple) * multiple)
+    """Progressive token buckets: fine (128) steps where prefill is cheap,
+    coarser steps for long prompts so the number of distinct compiled prefill
+    shapes stays bounded (~24 shapes to 6k tokens instead of 48) at <=~16%
+    pad overhead.  Every bucket stays a multiple of 128 (flash-kernel block
+    divisibility)."""
+    if n <= 1536:
+        step = multiple
+    elif n <= 3072:
+        step = 2 * multiple
+    elif n <= 6144:
+        step = 4 * multiple
+    else:
+        step = 8 * multiple
+    return max(multiple, -(-n // step) * step)
 
 
 @dataclasses.dataclass
