@@ -171,14 +171,21 @@ def attention_block(
             cache_attend = False
         else:
             # Decode / chunked prefill: per-(row, head) scatter at write_pos.
+            # (batch, head, pos) index triplets are unique by construction —
+            # the hint keeps XLA from lowering to a serialized general
+            # scatter (measured ~20x slower without it on v5e).
             batch_idx = jnp.arange(b)[:, None, None]  # (B, 1, 1)
             head_idx = jnp.arange(cfg.num_key_value_heads)[None, :, None]
             pos_idx = write_pos[:, None, :]  # (B, 1, T)
-            k_cache = k_cache.at[batch_idx, head_idx, pos_idx].set(kt)
-            v_cache = v_cache.at[batch_idx, head_idx, pos_idx].set(vt)
+            k_cache = k_cache.at[batch_idx, head_idx, pos_idx].set(
+                kt, unique_indices=True)
+            v_cache = v_cache.at[batch_idx, head_idx, pos_idx].set(
+                vt, unique_indices=True)
             if int8_kv:
-                k_scale = k_scale.at[batch_idx, head_idx, pos_idx].set(kt_s)
-                v_scale = v_scale.at[batch_idx, head_idx, pos_idx].set(vt_s)
+                k_scale = k_scale.at[batch_idx, head_idx, pos_idx].set(
+                    kt_s, unique_indices=True)
+                v_scale = v_scale.at[batch_idx, head_idx, pos_idx].set(
+                    vt_s, unique_indices=True)
             k_full, v_full = k_cache, v_cache  # (B, KVH, S, D)
             attn_kv_valid = kv_valid
             attn_kv_positions = kv_positions

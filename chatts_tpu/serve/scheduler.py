@@ -124,10 +124,15 @@ def _prefill_batch(
         attn_impl=attn_impl,
     )
     # Scatter each row's prompt K/V into its slot (first t positions only).
+    # unique_indices: slot ids are distinct by construction (the scheduler
+    # assigns each admitted request its own slot, and padding rows carry
+    # distinct out-of-range sentinels) — without the hint XLA lowers this
+    # to a serialized general scatter that costs ~20x (measured on v5e).
     new_caches = []
     for big, small in zip(caches, small_caches):
         new_caches.append(tuple(
-            b.at[slot_ids, :, :t].set(s.astype(b.dtype), mode="drop")
+            b.at[slot_ids, :, :t].set(s.astype(b.dtype), mode="drop",
+                                      unique_indices=True)
             for b, s in zip(big, small)
         ))
 
@@ -409,7 +414,10 @@ class ServeEngine:
         positions = np.tile(np.arange(t, dtype=np.int32), (bp, 1))
         seq_lens = np.ones((bp,), np.int32)
         seq_lens[:k] = batch.seq_lens
-        slot_ids = np.full((bp,), bp, np.int32)  # OOB sentinel
+        # Padding rows get DISTINCT out-of-range sentinels (bp, bp+1, ...):
+        # all dropped by mode="drop", but uniqueness must hold for the
+        # unique_indices scatter hint in _prefill_batch.
+        slot_ids = np.arange(bp, 2 * bp, dtype=np.int32)
         slot_ids[:k] = slots
         temp = np.zeros((bp,), np.float32)
         topp = np.ones((bp,), np.float32)

@@ -264,3 +264,33 @@ def test_int8_kv_serving_matches_batch_engine(engine_setup):
         req = eng.generate_sync(prompt, ts,
                                 SamplingParams(max_tokens=6, temperature=0.0))
     assert req.output_tokens == expected
+
+
+def test_sample_per_slot_semantics():
+    """Per-slot sampling: greedy rows take argmax; sampled rows stay inside
+    the top-K candidate set; tiny top_p collapses to the argmax."""
+    import jax
+
+    from chatts_tpu.runtime.sampling import TOP_K_CAP, sample_per_slot
+
+    rng = np.random.default_rng(0)
+    v = 1000
+    logits = jnp.asarray(rng.normal(0, 1, (4, v)).astype(np.float32))
+    # Row 2 gets a dominant token well outside index order.
+    logits = logits.at[2, 777].add(50.0)
+    temperature = jnp.asarray([0.0, 1.0, 0.8, 1.5], jnp.float32)
+    top_p = jnp.asarray([1.0, 1.0, 0.01, 1.0], jnp.float32)
+
+    argmax = np.argmax(np.asarray(logits), axis=-1)
+    topk_sets = [
+        set(np.argsort(np.asarray(logits)[i])[::-1][:TOP_K_CAP].tolist())
+        for i in range(4)
+    ]
+    for seed in range(5):
+        toks = np.asarray(sample_per_slot(
+            logits, jax.random.PRNGKey(seed), temperature, top_p
+        ))
+        assert toks[0] == argmax[0]  # greedy row
+        assert toks[2] == 777  # tiny top_p -> argmax (the spiked token)
+        for i in range(4):
+            assert int(toks[i]) in topk_sets[i]
