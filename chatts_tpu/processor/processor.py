@@ -109,10 +109,16 @@ class ChatTSProcessor:
         config: ChatTSConfig,
         encoding_method: str = "sp",
         pad_token_id: Optional[int] = None,
+        series_count_floor: int = 1,
     ):
         self.tokenizer = tokenizer
         self.config = config
         self.encoding_method = encoding_method
+        # Minimum series-count bucket.  Serving sets this to ~2x slots so
+        # admission batches of varying size land in ONE compiled shape —
+        # padded encoder rows are masked out and cost almost nothing, while
+        # a fresh series bucket costs a multi-second jit compile mid-traffic.
+        self.series_count_floor = max(1, int(series_count_floor))
         if pad_token_id is None:
             pad_token_id = getattr(tokenizer, "pad_token_id", None)
             if pad_token_id is None:
@@ -219,7 +225,10 @@ class ChatTSProcessor:
 
         all_series = [ts for s in per_sample for ts in s[1]]
         n = len(all_series)
-        n_pad = bucket_count(n) if (pad_to_bucket and n) else max(n, 1)
+        n_pad = (
+            max(bucket_count(n), self.series_count_floor)
+            if (pad_to_bucket and n) else max(n, 1)
+        )
         max_len = max((len(ts) for ts in all_series), default=cfg.ts.patch_size)
         l_pad = (
             bucket_series_len(max_len)

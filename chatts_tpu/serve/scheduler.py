@@ -238,6 +238,12 @@ class ServeEngine:
         self.params = params
         self.cfg = cfg
         self.processor = processor
+        # Pin the series-count bucket so admission batches of any size share
+        # one compiled prefill shape (admission size varies with arrival
+        # timing; a fresh series bucket is a multi-second compile).
+        processor.series_count_floor = max(
+            processor.series_count_floor, 2 * max_batch_size
+        )
         self.max_batch_size = max_batch_size
         self.max_model_len = max_model_len
         self.decode_chunk = decode_chunk
