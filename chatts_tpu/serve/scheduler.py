@@ -313,26 +313,32 @@ class ServeEngine:
             words = " ".join("warm" for _ in range(max(1, bucket - 64)))
             holes = " ".join(encoding.TS_PAIR for _ in range(series_per_request))
             prompt = f"{words} {holes}"
-            reqs = []
-            for _ in range(self.max_batch_size):
-                series = [
-                    np.sin(np.arange(float(series_len)))
-                    for _ in range(series_per_request)
-                ]
-                req = Request(prompt, series,
-                              SamplingParams(max_tokens=self.decode_chunk + 2,
-                                             temperature=0.0))
-                self.submit(req)
-                reqs.append(req)
-            deadline = time.time() + 600
-            for req in reqs:
-                while req.finished_s is None and req.error is None:
-                    if time.time() > deadline:
-                        print(f"[warmup] bucket {bucket} timed out")
-                        return
-                    time.sleep(0.01)
-                if req.error:
-                    print(f"[warmup] bucket {bucket} failed: {req.error}")
+            # Full burst compiles the max-row admission shape; the trailing
+            # small burst compiles the 8-row shape used for trickle traffic.
+            bursts = [self.max_batch_size]
+            if self.max_batch_size > 8:
+                bursts.append(4)
+            for burst in bursts:
+                reqs = []
+                for _ in range(burst):
+                    series = [
+                        np.sin(np.arange(float(series_len)))
+                        for _ in range(series_per_request)
+                    ]
+                    req = Request(prompt, series,
+                                  SamplingParams(max_tokens=self.decode_chunk + 2,
+                                                 temperature=0.0))
+                    self.submit(req)
+                    reqs.append(req)
+                deadline = time.time() + 600
+                for req in reqs:
+                    while req.finished_s is None and req.error is None:
+                        if time.time() > deadline:
+                            print(f"[warmup] bucket {bucket} timed out")
+                            return
+                        time.sleep(0.01)
+                    if req.error:
+                        print(f"[warmup] bucket {bucket} failed: {req.error}")
 
     def submit(self, request: Request) -> Request:
         self.total_requests += 1
@@ -451,13 +457,16 @@ class ServeEngine:
 
     def _prefill_requests(self, reqs: List[Request], slots: List[int],
                           batch, keep_rows: List[int]) -> None:
-        bp = self.max_batch_size
         kb = batch.input_ids.shape[0]
         t = batch.input_ids.shape[1]
+        # Admission-row buckets: small bursts use an 8-row prefill (~4x
+        # cheaper than the full-slot shape — prefill FLOPs scale with rows),
+        # full cohorts use max_batch_size rows.  Two compiled shapes per
+        # token bucket.
+        bp = 8 if (kb <= 8 and self.max_batch_size > 8) else self.max_batch_size
 
-        # Pad request rows to the fixed prefill batch (Bp = max_batch_size):
-        # one compile per token bucket; non-admitted rows compute but land
-        # nowhere (their slot_mask is off).
+        # Pad request rows to the admission bucket; non-admitted rows
+        # compute but land nowhere (their slot_mask is off).
         input_ids = np.full((bp, t), self.processor.pad_token_id, np.int32)
         input_ids[:kb] = batch.input_ids
         positions = np.tile(np.arange(t, dtype=np.int32), (bp, 1))
