@@ -157,6 +157,34 @@ def _prefill_batch(
     return new_caches, tokens
 
 
+def _place_slots(caches, small_caches, inv_ids, slot_mask, t):
+    """Gather-based slot placement (see _prefill_batch) as its own jit step,
+    used by the chunked admission path where prompt K/V accumulates in small
+    caches across several chunk calls before placement."""
+    sel = slot_mask[:, None, None, None]
+    sel3 = slot_mask[:, None, None]
+    new_caches = []
+    for big, small in zip(caches, small_caches):
+        updated = []
+        for b, s in zip(big, small):
+            src = jax.lax.slice_in_dim(s, 0, t, axis=2)
+            gathered = jnp.take(src, inv_ids, axis=0).astype(b.dtype)
+            mask = sel if gathered.ndim == 4 else sel3
+            old = jax.lax.slice_in_dim(b, 0, t, axis=2)
+            new = jnp.where(mask, gathered, old)
+            updated.append(jax.lax.dynamic_update_slice(b, new, (0,) * b.ndim))
+        new_caches.append(tuple(updated))
+    return new_caches
+
+
+def _sample_slots_last(params, cfg, hidden, seq_lens, temperature, top_p, rng):
+    last = jnp.take_along_axis(
+        hidden, (seq_lens - 1)[:, None, None].astype(jnp.int32), axis=1
+    )
+    logits = chatts.compute_logits(params, cfg, last)[:, 0]
+    return sampling.sample_per_slot(logits, rng, temperature, top_p)
+
+
 def _decode_all_slots(
     params,
     cfg: ChatTSConfig,
@@ -232,6 +260,7 @@ class ServeEngine:
         eos_token_ids: Sequence[int] = (),
         seed: int = 0,
         fuse: bool = True,
+        prefill_chunk: Optional[int] = None,
     ):
         if fuse:
             params = chatts.maybe_fuse(params)
@@ -247,10 +276,16 @@ class ServeEngine:
         self.max_batch_size = max_batch_size
         self.max_model_len = max_model_len
         self.decode_chunk = decode_chunk
+        # Prompts bucketing above this length prefill in fixed-size chunks
+        # at admission (same machinery as the batch engine's chunked
+        # prefill): transformer compile shapes stay bounded for long-prompt
+        # traffic instead of one monolithic compile per token bucket.
+        self.prefill_chunk = prefill_chunk
         self.attn_impl = attn_impl
         self.eos_token_ids = tuple(eos_token_ids)
         self.pad_id = processor.pad_token_id
 
+        self.cache_dtype = cache_dtype
         self.caches = kv_cache.allocate(
             cfg.llm, max_batch_size, max_model_len, cache_dtype
         )
@@ -274,6 +309,23 @@ class ServeEngine:
             _decode_all_slots,
             static_argnames=("cfg", "attn_impl", "chunk_size", "pad_id"),
             donate_argnames=("caches",),
+        )
+        # Chunked-admission pieces (reuse the batch engine's chunk step).
+        from chatts_tpu.runtime import engine as _batch_engine
+
+        self._embed_jit = jax.jit(
+            _batch_engine._embed_prompt, static_argnames=("cfg",)
+        )
+        self._chunk_jit = jax.jit(
+            _batch_engine._prefill_chunk,
+            static_argnames=("cfg", "attn_impl", "kv_limit"),
+            donate_argnames=("caches",),
+        )
+        self._place_jit = jax.jit(
+            _place_slots, static_argnames=("t",), donate_argnames=("caches",)
+        )
+        self._sample_slots_jit = jax.jit(
+            _sample_slots_last, static_argnames=("cfg",)
         )
 
         self.waiting: "queue.Queue[Request]" = queue.Queue()
@@ -447,6 +499,20 @@ class ServeEngine:
             keep_rows.append(i)
         if not admitted:
             return
+        # Long-prompt (chunked) admissions are capped at 8 rows so the
+        # transient small caches stay bounded (8 x model-len capacity);
+        # overflow goes back to the queue and admits next round.
+        if (self.prefill_chunk is not None
+                and batch.input_ids.shape[1] > self.prefill_chunk
+                and len(admitted) > 8):
+            for req in admitted[8:]:
+                self.waiting.put(req)
+            admitted = admitted[:8]
+            batch = self.processor(
+                [req.prompt for req in admitted],
+                [ts for req in admitted for ts in req.timeseries],
+            )
+            keep_rows = list(range(len(admitted)))
         try:
             self._prefill_requests(admitted, free[: len(admitted)], batch,
                                    keep_rows)
@@ -485,19 +551,25 @@ class ServeEngine:
             topp[row] = req.params.top_p
 
         self.rng, key = jax.random.split(self.rng)
-        self.caches, first = self._prefill_jit(
-            self.params, self.cfg, self.attn_impl, self.caches,
-            jnp.asarray(inv_ids),
-            jnp.asarray(slot_mask),
-            jnp.asarray(input_ids),
-            jnp.asarray(positions),
-            jnp.asarray(seq_lens),
-            jnp.asarray(batch.ts_values),
-            jnp.asarray(batch.ts_mask),
-            jnp.asarray(batch.scatter_seq),
-            jnp.asarray(batch.scatter_tok),
-            jnp.asarray(temp), jnp.asarray(topp), key,
-        )
+        if self.prefill_chunk is not None and t > self.prefill_chunk:
+            first = self._chunked_admission(
+                batch, input_ids, positions, seq_lens, inv_ids, slot_mask,
+                temp, topp, key,
+            )
+        else:
+            self.caches, first = self._prefill_jit(
+                self.params, self.cfg, self.attn_impl, self.caches,
+                jnp.asarray(inv_ids),
+                jnp.asarray(slot_mask),
+                jnp.asarray(input_ids),
+                jnp.asarray(positions),
+                jnp.asarray(seq_lens),
+                jnp.asarray(batch.ts_values),
+                jnp.asarray(batch.ts_mask),
+                jnp.asarray(batch.scatter_seq),
+                jnp.asarray(batch.scatter_tok),
+                jnp.asarray(temp), jnp.asarray(topp), key,
+            )
         first_host = np.asarray(first)
         now = time.perf_counter()
 
@@ -534,6 +606,69 @@ class ServeEngine:
         self.temperature = jnp.asarray(temp_h)
         self.top_p = jnp.asarray(topp_h)
         self.budget = jnp.asarray(budget_h)
+
+    def _chunked_admission(self, batch, input_ids, positions, seq_lens,
+                           inv_ids, slot_mask, temp, topp, key):
+        """Long-prompt admission: run the prompt through the decoder in
+        fixed-size chunks accumulating K/V in small caches, then place the
+        result into the big caches with one gather step.  Chunk compiles are
+        keyed on (chunk, kv_limit, small-capacity) with the capacity rounded
+        to kv_step multiples, so they are shared across token buckets."""
+        bp, t = input_ids.shape
+        c = self.prefill_chunk
+        # All chunked-path shapes quantize to kv_step multiples (a multiple
+        # of the chunk size, >= 2048): the working length t_pad takes one of
+        # <= model_len/kv_step values and the small-cache capacity is fixed
+        # at the rounded model length, so the embed/sample/placement
+        # compiles are shared across token buckets and the chunk compiles
+        # are keyed only on kv_limit.  Per-bucket shapes recompiled the
+        # whole chain for every new prompt-length bucket (~30-80 s each on
+        # the remote-compile tunnel).
+        kv_step = max(2 * c, -(-2048 // c) * c)
+        t_pad = -(-t // kv_step) * kv_step
+        t_cap = -(-max(self.max_model_len, t_pad) // kv_step) * kv_step
+        if t_pad > t:
+            input_ids = np.pad(
+                input_ids, ((0, 0), (0, t_pad - t)),
+                constant_values=self.processor.pad_token_id,
+            )
+            positions = np.pad(positions, ((0, 0), (0, t_pad - t)),
+                               mode="edge")
+
+        embeds = self._embed_jit(
+            self.params, self.cfg,
+            jnp.asarray(input_ids),
+            jnp.asarray(batch.ts_values),
+            jnp.asarray(batch.ts_mask),
+            jnp.asarray(batch.scatter_seq),
+            jnp.asarray(batch.scatter_tok),
+        )
+        pos = jnp.asarray(positions)
+        seq_dev = jnp.asarray(seq_lens)
+        small = kv_cache.allocate(self.cfg.llm, bp, t_cap, self.cache_dtype)
+        hiddens = []
+        for o in range(0, t_pad, c):
+            kv_limit = min(t_cap, -(-(o + c) // kv_step) * kv_step)
+            write_slots = jnp.tile(
+                jnp.arange(o, o + c, dtype=jnp.int32)[None], (bp, 1)
+            )
+            hidden, small = self._chunk_jit(
+                self.params, self.cfg, self.attn_impl, kv_limit,
+                small, embeds[:, o:o + c], pos[:, o:o + c],
+                write_slots, seq_dev,
+            )
+            hiddens.append(hidden)
+        full_hidden = jnp.concatenate(hiddens, axis=1)
+        first = self._sample_slots_jit(
+            self.params, self.cfg, full_hidden, seq_dev,
+            jnp.asarray(temp), jnp.asarray(topp), key,
+        )
+        t_place = min(t_pad, self.max_model_len)
+        self.caches = self._place_jit(
+            self.caches, small, jnp.asarray(inv_ids), jnp.asarray(slot_mask),
+            t_place,
+        )
+        return first
 
     def _finish(self, slot: int, reason: str) -> None:
         req = self.slots[slot]

@@ -294,3 +294,58 @@ def test_sample_per_slot_semantics():
         assert toks[2] == 777  # tiny top_p -> argmax (the spiked token)
         for i in range(4):
             assert int(toks[i]) in topk_sets[i]
+
+
+def test_chunked_admission_matches_monolithic(engine_setup):
+    """Long prompts admitted in chunks must produce identical greedy output
+    to the monolithic admission path (bf16-like and int8 KV)."""
+    prompt = "analyze <ts><ts/> " + "tok " * 200
+    ts = [np.arange(24.0)]
+    sp = SamplingParams(max_tokens=6, temperature=0.0)
+    for dtype in (jnp.float32, jnp.int8):
+        with make_engine(engine_setup, max_model_len=512,
+                         cache_dtype=dtype) as eng:
+            base = eng.generate_sync(prompt, ts, sp)
+        with make_engine(engine_setup, max_model_len=512, cache_dtype=dtype,
+                         prefill_chunk=64) as eng:
+            got = eng.generate_sync(prompt, ts, sp)
+        assert got.output_tokens == base.output_tokens, dtype
+        assert len(got.output_tokens) == 6
+
+
+def test_chunked_admission_fragmented_slots(engine_setup):
+    """Chunked admission with occupied slots and mixed-length rows: short
+    requests hold slots (monolithic path) while long ones admit chunked into
+    the free slots; outputs must match the all-monolithic engine."""
+    import time
+
+    long_prompt = "analyze <ts><ts/> " + "tok " * 180
+    short_prompt = "short <ts><ts/> prompt"
+    sp = SamplingParams(max_tokens=5, temperature=0.0)
+
+    def run(**kw):
+        with make_engine(engine_setup, max_model_len=512, **kw) as eng:
+            # occupy slots with short requests first (fragment the free list)
+            shorts = [Request(short_prompt, [np.arange(8.0) * (i + 1)], 
+                              SamplingParams(max_tokens=12, temperature=0.0))
+                      for i in range(2)]
+            for r in shorts:
+                eng.submit(r)
+            while not eng.live_host.any():
+                time.sleep(0.005)
+            longs = [Request(long_prompt, [np.arange(24.0) + i], sp)
+                     for i in range(2)]
+            for r in longs:
+                eng.submit(r)
+            deadline = time.time() + 300
+            while any(r.finished_s is None and r.error is None
+                      for r in shorts + longs):
+                assert time.time() < deadline
+                time.sleep(0.01)
+        for r in shorts + longs:
+            assert r.error is None, r.error
+        return [r.output_tokens for r in longs]
+
+    base = run()
+    got = run(prefill_chunk=64)
+    assert got == base
