@@ -299,6 +299,9 @@ class ServeEngine:
 
         self.slots: List[Optional[Request]] = [None] * b
         self.live_host = np.zeros((b,), bool)
+        # In-flight long-prompt admission (one chunk advances per loop
+        # iteration, interleaved with decode rounds).
+        self._pending_chunked: Optional[Dict[str, Any]] = None
 
         self._prefill_jit = jax.jit(
             _prefill_batch,
@@ -445,6 +448,8 @@ class ServeEngine:
         admission); a request that fails processing is isolated by a
         per-request fallback, and one that exceeds max_model_len is rejected
         after the shared processing pass without poisoning the batch."""
+        if self._pending_chunked is not None:
+            return  # a long admission is in flight; new ones wait
         free = self._free_slots()
         candidates: List[Request] = []
         while free and not self.waiting.empty() and len(candidates) < len(free):
@@ -552,24 +557,30 @@ class ServeEngine:
 
         self.rng, key = jax.random.split(self.rng)
         if self.prefill_chunk is not None and t > self.prefill_chunk:
-            first = self._chunked_admission(
-                batch, input_ids, positions, seq_lens, inv_ids, slot_mask,
-                temp, topp, key,
+            # Long prompt: admission proceeds chunk-by-chunk, interleaved
+            # with decode rounds by the engine loop (live slots keep
+            # decoding while the prompt prefills).
+            self._start_chunked_admission(
+                reqs, slots, keep_rows, batch, input_ids, positions,
+                seq_lens, inv_ids, slot_mask, temp, topp, key,
             )
-        else:
-            self.caches, first = self._prefill_jit(
-                self.params, self.cfg, self.attn_impl, self.caches,
-                jnp.asarray(inv_ids),
-                jnp.asarray(slot_mask),
-                jnp.asarray(input_ids),
-                jnp.asarray(positions),
-                jnp.asarray(seq_lens),
-                jnp.asarray(batch.ts_values),
-                jnp.asarray(batch.ts_mask),
-                jnp.asarray(batch.scatter_seq),
-                jnp.asarray(batch.scatter_tok),
-                jnp.asarray(temp), jnp.asarray(topp), key,
-            )
+            return
+        self.caches, first = self._prefill_jit(
+            self.params, self.cfg, self.attn_impl, self.caches,
+            jnp.asarray(inv_ids),
+            jnp.asarray(slot_mask),
+            jnp.asarray(input_ids),
+            jnp.asarray(positions),
+            jnp.asarray(seq_lens),
+            jnp.asarray(batch.ts_values),
+            jnp.asarray(batch.ts_mask),
+            jnp.asarray(batch.scatter_seq),
+            jnp.asarray(batch.scatter_tok),
+            jnp.asarray(temp), jnp.asarray(topp), key,
+        )
+        self._finalize_admission(reqs, slots, keep_rows, first)
+
+    def _finalize_admission(self, reqs, slots, keep_rows, first) -> None:
         first_host = np.asarray(first)
         now = time.perf_counter()
 
@@ -587,6 +598,9 @@ class ServeEngine:
             req.first_token_s = now
             eos = set(self.eos_token_ids) | set(req.params.stop_token_ids)
             self.slots[slot] = req
+            if req.cancelled:
+                self._finish(slot, "cancelled")
+                continue
             if tok in eos or req.params.max_tokens <= 1:
                 if tok not in eos:
                     req.output_tokens.append(tok)
@@ -607,11 +621,14 @@ class ServeEngine:
         self.top_p = jnp.asarray(topp_h)
         self.budget = jnp.asarray(budget_h)
 
-    def _chunked_admission(self, batch, input_ids, positions, seq_lens,
-                           inv_ids, slot_mask, temp, topp, key):
-        """Long-prompt admission: run the prompt through the decoder in
-        fixed-size chunks accumulating K/V in small caches, then place the
-        result into the big caches with one gather step.  Chunk compiles are
+    def _start_chunked_admission(self, reqs, slots, keep_rows, batch,
+                                 input_ids, positions, seq_lens,
+                                 inv_ids, slot_mask, temp, topp, key):
+        """Begin a long-prompt admission: the prompt runs through the
+        decoder in fixed-size chunks accumulating K/V in small caches, ONE
+        chunk per engine-loop iteration (interleaved with decode rounds so
+        live slots never starve during a long prefill), then one gather
+        step places the result into the big caches.  Chunk compiles are
         keyed on (chunk, kv_limit, small-capacity) with the capacity rounded
         to kv_step multiples, so they are shared across token buckets."""
         bp, t = input_ids.shape
@@ -646,29 +663,53 @@ class ServeEngine:
         pos = jnp.asarray(positions)
         seq_dev = jnp.asarray(seq_lens)
         small = kv_cache.allocate(self.cfg.llm, bp, t_cap, self.cache_dtype)
-        hiddens = []
-        for o in range(0, t_pad, c):
-            kv_limit = min(t_cap, -(-(o + c) // kv_step) * kv_step)
-            write_slots = jnp.tile(
-                jnp.arange(o, o + c, dtype=jnp.int32)[None], (bp, 1)
-            )
-            hidden, small = self._chunk_jit(
-                self.params, self.cfg, self.attn_impl, kv_limit,
-                small, embeds[:, o:o + c], pos[:, o:o + c],
-                write_slots, seq_dev,
-            )
-            hiddens.append(hidden)
-        full_hidden = jnp.concatenate(hiddens, axis=1)
-        first = self._sample_slots_jit(
-            self.params, self.cfg, full_hidden, seq_dev,
-            jnp.asarray(temp), jnp.asarray(topp), key,
+        # Reserve the slots so _free_slots keeps them out of further
+        # admissions; live_host stays False until placement.
+        for req, slot in zip(reqs, slots):
+            self.slots[slot] = req
+        self._pending_chunked = {
+            "reqs": reqs, "slots": slots, "keep_rows": keep_rows,
+            "embeds": embeds, "pos": pos, "seq_dev": seq_dev,
+            "small": small, "hiddens": [], "o": 0,
+            "t_pad": t_pad, "t_cap": t_cap, "kv_step": kv_step, "bp": bp,
+            "inv_ids": inv_ids, "slot_mask": slot_mask,
+            "temp": temp, "topp": topp, "key": key,
+        }
+
+    def _advance_chunked_admission(self) -> None:
+        """Run ONE prompt chunk of the pending long admission; on the final
+        chunk, sample first tokens, place K/V into the big caches, and hand
+        the requests to the decode loop."""
+        st = self._pending_chunked
+        c = self.prefill_chunk
+        o, bp = st["o"], st["bp"]
+        kv_limit = min(st["t_cap"], -(-(o + c) // st["kv_step"]) * st["kv_step"])
+        write_slots = jnp.tile(
+            jnp.arange(o, o + c, dtype=jnp.int32)[None], (bp, 1)
         )
-        t_place = min(t_pad, self.max_model_len)
+        hidden, st["small"] = self._chunk_jit(
+            self.params, self.cfg, self.attn_impl, kv_limit,
+            st["small"], st["embeds"][:, o:o + c], st["pos"][:, o:o + c],
+            write_slots, st["seq_dev"],
+        )
+        st["hiddens"].append(hidden)
+        st["o"] = o + c
+        if st["o"] < st["t_pad"]:
+            return
+        full_hidden = jnp.concatenate(st["hiddens"], axis=1)
+        first = self._sample_slots_jit(
+            self.params, self.cfg, full_hidden, st["seq_dev"],
+            jnp.asarray(st["temp"]), jnp.asarray(st["topp"]), st["key"],
+        )
+        t_place = min(st["t_pad"], self.max_model_len)
         self.caches = self._place_jit(
-            self.caches, small, jnp.asarray(inv_ids), jnp.asarray(slot_mask),
+            self.caches, st["small"],
+            jnp.asarray(st["inv_ids"]), jnp.asarray(st["slot_mask"]),
             t_place,
         )
-        return first
+        self._pending_chunked = None
+        self._finalize_admission(st["reqs"], st["slots"], st["keep_rows"],
+                                 first)
 
     def _finish(self, slot: int, reason: str) -> None:
         req = self.slots[slot]
@@ -723,10 +764,16 @@ class ServeEngine:
     def _loop(self) -> None:
         while not self._stop.is_set():
             try:
-                self._admit()
+                if self._pending_chunked is not None:
+                    # One prompt chunk of the in-flight long admission, then
+                    # fall through to a decode round — live slots keep
+                    # streaming while the long prompt prefills.
+                    self._advance_chunked_admission()
+                else:
+                    self._admit()
                 if self.live_host.any():
                     self._decode_round()
-                else:
+                elif self._pending_chunked is None:
                     self._wake.wait(timeout=0.05)
                     self._wake.clear()
             except Exception as err:  # engine must survive a bad step:
@@ -736,6 +783,7 @@ class ServeEngine:
                 import traceback
 
                 traceback.print_exc()
+                self._pending_chunked = None
                 for slot, req in enumerate(self.slots):
                     if req is not None:
                         req.error = f"engine step failed: {err}"

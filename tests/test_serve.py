@@ -349,3 +349,35 @@ def test_chunked_admission_fragmented_slots(engine_setup):
     base = run()
     got = run(prefill_chunk=64)
     assert got == base
+
+
+def test_decode_interleaves_with_chunked_admission(engine_setup):
+    """While a long prompt admits chunk-by-chunk, live slots must keep
+    emitting tokens (the admission must not starve decode)."""
+    import time
+
+    with make_engine(engine_setup, max_model_len=512, prefill_chunk=32) as eng:
+        short = Request("keep <ts><ts/> going", [np.arange(8.0)],
+                        SamplingParams(max_tokens=120, temperature=0.0))
+        eng.submit(short)
+        while short.first_token_s is None:
+            time.sleep(0.005)
+        n_before = len(short.output_tokens)
+        long_req = Request("analyze <ts><ts/> " + "tok " * 200,
+                           [np.arange(24.0)],
+                           SamplingParams(max_tokens=4, temperature=0.0))
+        eng.submit(long_req)
+        while long_req.first_token_s is None and long_req.error is None:
+            time.sleep(0.005)
+        assert long_req.error is None
+        # tokens emitted by the short request between the long submit and the
+        # long request's first token => decode ran during admission
+        n_during = len(short.output_tokens)
+        deadline = time.time() + 120
+        while any(r.finished_s is None and r.error is None
+                  for r in (short, long_req)):
+            assert time.time() < deadline
+            time.sleep(0.01)
+    assert n_during > n_before, "decode made no progress during admission"
+    assert len(long_req.output_tokens) == 4
+    assert len(short.output_tokens) == 120
