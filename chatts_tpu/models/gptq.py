@@ -1,0 +1,90 @@
+"""GPTQ-Int4 checkpoint support.
+
+The reference ships GPTQ-quantized variants (ChatTS-8B/14B-GPTQ-Int4,
+reference: README.md:52,260-263) served through vLLM's GPTQ kernels.  Here
+the packed tensors are dequantized on the host as they stream in — TPUs have
+no int4 dot path on this stack, so the serving-quantization story is the
+on-device int8 weight-only path (models/quantize.py); GPTQ loading exists so
+those published checkpoints are directly usable (optionally re-quantized to
+int8 at load with ``load_checkpoint(..., quantize_int8=True)``).
+
+Format (AutoGPTQ v1, bits=4, the format of the published checkpoints):
+  - ``qweight`` int32 (in/8, out): eight 4-bit codes packed per int32 along
+    the input dimension, least-significant nibble first.
+  - ``qzeros``  int32 (groups, out/8): packed 4-bit zero-points, stored
+    MINUS ONE (the historical AutoGPTQ off-by-one: stored = zero - 1).
+  - ``scales``  f16/f32 (groups, out).
+  - ``g_idx``   int32 (in,): input-feature -> group map (present with
+    desc_act; defaults to ``i // group_size``).
+Dequantization: W[i, o] = scales[g_idx[i], o] * (code[i, o] - (qzeros+1)).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+BITS = 4
+PACK = 32 // BITS  # codes per int32
+
+
+def unpack_int4(packed: np.ndarray, axis: int) -> np.ndarray:
+    """Unpack 4-bit codes from int32 along ``axis`` (LSB nibble first)."""
+    packed = packed.astype(np.uint32)
+    parts = [(packed >> (BITS * b)) & 0xF for b in range(PACK)]
+    stacked = np.stack(parts, axis=axis + 1)  # (..., PACK, ...)
+    shape = list(packed.shape)
+    shape[axis] *= PACK
+    return stacked.reshape(shape).astype(np.int32)
+
+
+def pack_int4(codes: np.ndarray, axis: int) -> np.ndarray:
+    """Inverse of :func:`unpack_int4` (used by tests / checkpoint synthesis)."""
+    shape = list(codes.shape)
+    assert shape[axis] % PACK == 0
+    shape[axis] //= PACK
+    grouped = codes.reshape(
+        shape[:axis] + [shape[axis], PACK] + shape[axis + 1:]
+    ).astype(np.uint32)
+    out = np.zeros(shape, np.uint32)
+    for b in range(PACK):
+        out |= (np.take(grouped, b, axis=axis + 1) & 0xF) << (BITS * b)
+    return out.astype(np.int32)
+
+
+def dequantize(
+    qweight: np.ndarray,  # int32 (in/8, out)
+    qzeros: np.ndarray,  # int32 (groups, out/8)
+    scales: np.ndarray,  # (groups, out)
+    g_idx: Optional[np.ndarray] = None,  # int32 (in,)
+    group_size: Optional[int] = None,
+) -> np.ndarray:
+    """Return the dense kernel W (in, out) float32."""
+    codes = unpack_int4(qweight, axis=0)  # (in, out)
+    zeros = unpack_int4(qzeros, axis=1) + 1  # (groups, out); undo the -1
+    in_features = codes.shape[0]
+    if g_idx is None:
+        if group_size is None:
+            group_size = in_features // scales.shape[0]
+        g_idx = np.arange(in_features, dtype=np.int64) // group_size
+    g_idx = np.asarray(g_idx, np.int64)
+    scales = np.asarray(scales, np.float32)
+    return scales[g_idx] * (codes.astype(np.float32) - zeros[g_idx])
+
+
+def has_gptq_tensors(sd, name: str) -> bool:
+    """Whether ``name`` (a linear layer prefix) is stored GPTQ-packed."""
+    return name + ".qweight" in sd
+
+
+def load_gptq_kernel(sd, name: str) -> np.ndarray:
+    """Dequantize the GPTQ linear at ``name`` to a dense (in, out) kernel."""
+    g_idx = None
+    if name + ".g_idx" in sd:
+        g_idx = np.asarray(sd[name + ".g_idx"])
+    return dequantize(
+        np.asarray(sd[name + ".qweight"]),
+        np.asarray(sd[name + ".qzeros"]),
+        np.asarray(sd[name + ".scales"], np.float32),
+        g_idx=g_idx,
+    )

@@ -124,7 +124,16 @@ def load_checkpoint(
         return jax.device_put(arr, shard_for(path_keys, arr.shape))
 
     def dense(name: str, bias: bool, path_keys, cast=dtype):
-        kernel = jnp.asarray(sd[name + ".weight"]).astype(cast).T
+        if name + ".weight" in sd:
+            kernel = jnp.asarray(sd[name + ".weight"]).astype(cast).T
+        else:
+            # GPTQ-Int4 checkpoint (reference: README.md:260-263): packed
+            # tensors dequantize on host to the (in, out) kernel layout.
+            from chatts_tpu.models import gptq
+
+            if not gptq.has_gptq_tensors(sd, name):
+                raise KeyError(f"{name}: neither .weight nor .qweight found")
+            kernel = jnp.asarray(gptq.load_gptq_kernel(sd, name)).astype(cast)
         if quantize_int8:
             from chatts_tpu.models.quantize import quantize_dense
 

@@ -1,0 +1,110 @@
+"""GPTQ-Int4 checkpoint support (reference ships ChatTS-8B/14B-GPTQ-Int4,
+README.md:52,260-263): pack/unpack inverses, exact dequantization semantics
+(AutoGPTQ v1 zeros-minus-one convention, desc_act g_idx), and loader
+integration end-to-end through load_checkpoint."""
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax
+
+from chatts_tpu.models import chatts, gptq, weights
+from chatts_tpu.core.config import tiny_config
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 16, size=(64, 24), dtype=np.int32)
+    packed = gptq.pack_int4(codes, axis=0)
+    assert packed.shape == (8, 24)
+    np.testing.assert_array_equal(gptq.unpack_int4(packed, axis=0), codes)
+    packed1 = gptq.pack_int4(codes, axis=1)
+    assert packed1.shape == (64, 3)
+    np.testing.assert_array_equal(gptq.unpack_int4(packed1, axis=1), codes)
+
+
+def test_dequantize_exact_with_desc_act():
+    rng = np.random.default_rng(1)
+    in_f, out_f, groups = 32, 16, 4
+    codes = rng.integers(0, 16, size=(in_f, out_f), dtype=np.int32)
+    zeros = rng.integers(1, 16, size=(groups, out_f), dtype=np.int32)
+    scales = rng.uniform(0.01, 0.2, size=(groups, out_f)).astype(np.float32)
+    g_idx = rng.integers(0, groups, size=(in_f,)).astype(np.int32)  # desc_act
+
+    expected = scales[g_idx] * (codes.astype(np.float32) - zeros[g_idx])
+    got = gptq.dequantize(
+        gptq.pack_int4(codes, axis=0),
+        gptq.pack_int4(zeros - 1, axis=1),  # stored minus one
+        scales, g_idx=g_idx,
+    )
+    np.testing.assert_allclose(got, expected, rtol=0, atol=0)
+
+
+def test_dequantize_default_group_map():
+    rng = np.random.default_rng(2)
+    in_f, out_f, group_size = 64, 8, 16
+    groups = in_f // group_size
+    codes = rng.integers(0, 16, size=(in_f, out_f), dtype=np.int32)
+    zeros = np.full((groups, out_f), 8, np.int32)
+    scales = np.ones((groups, out_f), np.float32)
+    got = gptq.dequantize(
+        gptq.pack_int4(codes, axis=0), gptq.pack_int4(zeros - 1, axis=1),
+        scales,
+    )
+    np.testing.assert_allclose(got, codes - 8.0)
+
+
+def test_loader_reads_gptq_projection(tmp_path):
+    """A checkpoint whose q_proj is GPTQ-packed loads to the exact
+    dequantized kernel, and the model runs."""
+    from safetensors.numpy import save_file
+    from safetensors import safe_open
+
+    cfg = tiny_config(vocab_size=128, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, patch_size=8,
+                      max_sequence_length=128, ts_token_start_index=120)
+    params = chatts.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    path = str(tmp_path / "ckpt")
+    weights.save_checkpoint(path, cfg, params)
+
+    # Rewrite layer-0 q_proj as GPTQ tensors with a known dequantization.
+    rng = np.random.default_rng(3)
+    in_f = cfg.llm.hidden_size
+    out_f = cfg.llm.num_attention_heads * cfg.llm.head_dim
+    groups = 4
+    codes = rng.integers(0, 16, size=(in_f, out_f), dtype=np.int32)
+    zeros = rng.integers(1, 16, size=(groups, out_f), dtype=np.int32)
+    scales = rng.uniform(0.01, 0.1, size=(groups, out_f)).astype(np.float32)
+    w_new = scales[np.arange(in_f) // (in_f // groups)] * (
+        codes.astype(np.float32)
+        - zeros[np.arange(in_f) // (in_f // groups)]
+    )
+
+    st_path = str(tmp_path / "ckpt" / "model.safetensors")
+    tensors = {}
+    with safe_open(st_path, framework="np") as f:
+        for k in f.keys():
+            tensors[k] = f.get_tensor(k)
+    key = "model.layers.0.self_attn.q_proj"
+    del tensors[key + ".weight"]
+    tensors[key + ".qweight"] = gptq.pack_int4(codes, axis=0)
+    tensors[key + ".qzeros"] = gptq.pack_int4(zeros - 1, axis=1)
+    tensors[key + ".scales"] = scales
+    save_file(tensors, st_path)
+
+    cfg2, loaded = weights.load_checkpoint(path, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(loaded["llm"]["layers"][0]["self_attn"]["q_proj"]["kernel"]),
+        w_new, rtol=1e-6,
+    )
+    # And the model runs with the dequantized weight (+ int8 requant path).
+    hidden, _ = chatts.forward(
+        loaded, cfg2, jnp.asarray([[1, 2, 3, 4]]),
+        jnp.asarray([[0, 1, 2, 3]]), attn_impl="xla",
+    )
+    assert np.isfinite(np.asarray(hidden)).all()
+    _, loaded_q = weights.load_checkpoint(path, dtype=jnp.float32,
+                                          quantize_int8=True)
+    q = loaded_q["llm"]["layers"][0]["self_attn"]["q_proj"]
+    assert "scales" in q and q["kernel_q"].dtype == jnp.int8
