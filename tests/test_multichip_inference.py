@@ -69,3 +69,32 @@ def test_maybe_fuse_refuses_sharded(setup):
     fused = chatts.maybe_fuse(sharded)
     # TP-sharded params must stay unfused (Megatron shards constituents).
     assert "qkv_proj" not in fused["llm"]["layers"][0]["self_attn"]
+
+
+def test_tp_sharded_serving_engine(setup):
+    """The continuous-batching engine (slot admission placement, decode scan,
+    per-slot sampling) must reproduce single-device outputs with TP-sharded
+    params — GSPMD propagates the layout through every serve-path op."""
+    from chatts_tpu.serve.scheduler import SamplingParams, ServeEngine
+
+    cfg, params, proc = setup
+    prompt = "serve <ts><ts/> sharded"
+    ts = [np.arange(12.0)]
+    sp = SamplingParams(max_tokens=6, temperature=0.0)
+
+    with ServeEngine(params, cfg, proc, max_batch_size=2, max_model_len=256,
+                     cache_dtype=jnp.float32, attn_impl="xla",
+                     decode_chunk=4, fuse=False) as eng:
+        ref = eng.generate_sync(prompt, ts, sp).output_tokens
+
+    mesh = mesh_lib.create_mesh(dp=1, tp=4, devices=jax.devices()[:4])
+    sharded = sharding.place_params(mesh, cfg, params)
+    with ServeEngine(sharded, cfg, proc, max_batch_size=2, max_model_len=256,
+                     cache_dtype=jnp.float32, attn_impl="xla",
+                     decode_chunk=4, fuse=False, prefill_chunk=32) as eng:
+        got = eng.generate_sync(prompt, ts, sp).output_tokens
+        # chunked long-prompt admission under TP as well
+        long_prompt = "analyze <ts><ts/> " + "tok " * 150
+        long_out = eng.generate_sync(long_prompt, [np.arange(16.0)], sp)
+    assert got == ref
+    assert len(long_out.output_tokens) == 6
