@@ -18,6 +18,15 @@ def main():
     parser.add_argument("--max-batch-size", type=int, default=8)
     parser.add_argument("--max-model-len", type=int, default=6144)
     parser.add_argument("--no-warmup", action="store_true")
+    parser.add_argument("--quantize-int8", action="store_true",
+                        help="int8 weight-only quantization at load "
+                             "(fits an 8B checkpoint on one v5e chip)")
+    parser.add_argument("--kv-int8", action="store_true",
+                        help="int8 KV cache (halves per-slot cache memory)")
+    parser.add_argument("--prefill-chunk", type=int, default=None,
+                        help="admit prompts longer than this in chunks, "
+                             "interleaved with decode (bounded compiles)")
+    parser.add_argument("--decode-chunk", type=int, default=8)
     args = parser.parse_args()
 
     import jax
@@ -29,7 +38,15 @@ def main():
     from chatts_tpu.serve.server import ChatTSServer
 
     if args.model:
-        cfg, params, tokenizer = weights.from_pretrained(args.model)
+        if args.quantize_int8:
+            cfg, params = weights.load_checkpoint(args.model,
+                                                  quantize_int8=True)
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(args.model,
+                                                      trust_remote_code=False)
+        else:
+            cfg, params, tokenizer = weights.from_pretrained(args.model)
         eos = tuple(t for t in (getattr(tokenizer, "eos_token_id", None),) if t)
     else:
         print("[serve] no --model; tiny-random ChatTS for demonstration")
@@ -42,12 +59,18 @@ def main():
         tokenizer = FakeTokenizer()
         eos = ()
 
+    import jax.numpy as jnp
+
     processor = ChatTSProcessor(tokenizer, cfg)
     engine = ServeEngine(
         params, cfg, processor,
         max_batch_size=args.max_batch_size,
         max_model_len=args.max_model_len,
         eos_token_ids=eos,
+        cache_dtype=jnp.int8 if args.kv_int8 else jnp.bfloat16,
+        decode_chunk=args.decode_chunk,
+        prefill_chunk=args.prefill_chunk,
+        fuse=not args.quantize_int8,
     )
     if not args.no_warmup:
         print("[serve] warming up prefill buckets...")
