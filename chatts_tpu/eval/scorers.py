@@ -468,8 +468,18 @@ def evaluate_batch_qa(
         if idx in by_idx
     ]
     if num_workers > 1:
-        with ProcessPoolExecutor(max_workers=num_workers) as pool:
-            results = list(pool.map(_process_sample, tasks))
+        import sys
+
+        if "jax" in sys.modules:
+            # Forking a JAX-initialized (multithreaded) process can deadlock;
+            # scoring is light enough that threads are fine in-process.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=num_workers) as pool:
+                results = list(pool.map(_process_sample, tasks))
+        else:
+            with ProcessPoolExecutor(max_workers=num_workers) as pool:
+                results = list(pool.map(_process_sample, tasks))
     else:
         results = [_process_sample(t) for t in tasks]
 
