@@ -18,7 +18,6 @@ TTFT/TPOT are tracked per request (SURVEY §5 observability gap).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import queue
 import threading
 import time

@@ -381,3 +381,19 @@ def test_decode_interleaves_with_chunked_admission(engine_setup):
     assert n_during > n_before, "decode made no progress during admission"
     assert len(long_req.output_tokens) == 4
     assert len(short.output_tokens) == 120
+
+
+def test_stop_during_chunked_admission(engine_setup):
+    """Stopping the engine mid-admission must not hang; the pending request
+    simply never completes (engine shut down) and no exception leaks."""
+    import time
+
+    eng = make_engine(engine_setup, max_model_len=512, prefill_chunk=32)
+    eng.start()
+    req = Request("analyze <ts><ts/> " + "tok " * 220, [np.arange(16.0)],
+                  SamplingParams(max_tokens=8, temperature=0.0))
+    eng.submit(req)
+    # stop quickly, likely mid-admission
+    time.sleep(0.2)
+    eng.stop()
+    assert eng._thread is None  # joined cleanly
