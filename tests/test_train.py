@@ -196,3 +196,26 @@ def test_peft_adapter_round_trip(setup, tmp_path):
         np.asarray(m2["llm"]["layers"][1]["self_attn"]["v_proj"]["kernel"]),
         rtol=1e-6,
     )
+
+
+def test_lora_sft_on_tp_mesh_matches_single_device(setup):
+    """LoRA SFT with a TP-sharded base model (adapters replicated) follows
+    the single-device loss trajectory — the multi-chip fine-tuning path."""
+    from chatts_tpu.parallel import mesh as mesh_lib
+    from chatts_tpu.parallel import sharding
+    from chatts_tpu.train.train_step import TrainConfig
+
+    cfg, params, proc = setup
+    rows = make_rows(8)
+    kwargs = dict(
+        lora_cfg=LoRAConfig(rank=4, alpha=8.0),
+        train_cfg=TrainConfig(learning_rate=1e-2),
+        batch_size=4, num_epochs=4, max_steps=8, seed=0,
+    )
+    ref = train_lora_sft(params, cfg, proc, rows, **kwargs)
+
+    mesh = mesh_lib.create_mesh(dp=1, tp=4, devices=jax.devices()[:4])
+    sharded = sharding.place_params(mesh, cfg, params)
+    got = train_lora_sft(sharded, cfg, proc, rows, **kwargs)
+
+    np.testing.assert_allclose(got.losses, ref.losses, rtol=2e-3, atol=2e-4)
