@@ -91,7 +91,11 @@ def main():
     del params
 
     proc = ChatTSProcessor(_Tok(), cfg)
-    engine = InferenceEngine(qparams, cfg, fuse=False, decode_chunk=127)
+    # int8 KV: at serving concurrency the dense decode path fuses the
+    # dequant into the attention read, so halving KV bytes is a latency win
+    # (+6% at b32) on top of the capacity win.
+    engine = InferenceEngine(qparams, cfg, fuse=False, decode_chunk=127,
+                             cache_dtype=jnp.int8)
 
     rng = np.random.default_rng(0)
     decode_concurrency = 32
