@@ -71,7 +71,57 @@ class LazyStateDict:
         return jnp.asarray(self[name]).astype(dtype)
 
 
-def detect_tied_embeddings(sd: LazyStateDict) -> bool:
+def _key_candidates(name: str) -> Iterator[str]:
+    """Checkpoint naming variants for one logical HF-style key.
+
+    The reference's vLLM mapper rewrites ``lm_head.* -> language_model.lm_head.*``
+    and ``model.* -> language_model.model.*`` (chatts_vllm.py:467-470), and the
+    TS encoder may sit at top level or under ``model.`` depending on which side
+    of ``from_pretrained`` the checkpoint was saved from.  We accept all of
+    them so a real ChatTS-8B/14B export loads regardless of provenance.
+    """
+    yield name
+    if name.startswith("model."):
+        yield name[len("model."):]
+        yield "language_model." + name
+    else:
+        yield "model." + name
+        yield "language_model." + name
+
+
+class ResolvedStateDict:
+    """View over a LazyStateDict that resolves logical keys through the
+    naming variants above and records which physical keys were consumed
+    (for the conversion lint)."""
+
+    def __init__(self, sd: LazyStateDict):
+        self._sd = sd
+        self.used: set = set()
+
+    def resolve(self, name: str) -> Optional[str]:
+        for cand in _key_candidates(name):
+            if cand in self._sd:
+                return cand
+        return None
+
+    def __contains__(self, name: str) -> bool:
+        return self.resolve(name) is not None
+
+    def keys(self):
+        return self._sd.keys()
+
+    def __getitem__(self, name: str) -> np.ndarray:
+        actual = self.resolve(name)
+        if actual is None:
+            raise KeyError(name)
+        self.used.add(actual)
+        return self._sd[actual]
+
+    def get_jnp(self, name: str, dtype) -> jnp.ndarray:
+        return jnp.asarray(self[name]).astype(dtype)
+
+
+def detect_tied_embeddings(sd) -> bool:
     return "lm_head.weight" not in sd
 
 
@@ -93,7 +143,7 @@ def load_checkpoint(
     """
     if cfg is None:
         cfg = ChatTSConfig.from_pretrained(model_path)
-    sd = LazyStateDict(model_path)
+    sd = ResolvedStateDict(LazyStateDict(model_path))
 
     tied = detect_tied_embeddings(sd)
     if tied != cfg.llm.tie_word_embeddings:
@@ -328,6 +378,118 @@ def save_checkpoint(model_path: str, cfg: ChatTSConfig, params: Dict[str, Any]) 
         json.dump(config, f, indent=2)
 
 
+import dataclasses as _dataclasses
+
+
+@_dataclasses.dataclass
+class LintReport:
+    """Result of :func:`lint_checkpoint`: what matched, what's missing, and
+    what the checkpoint contains that the loader would ignore."""
+
+    resolved: Dict[str, str]          # logical key -> physical key
+    missing: Tuple[str, ...]          # required logical keys with no match
+    unused: Tuple[str, ...]           # physical keys no logical key consumed
+    tied_embeddings: bool
+    gptq_projections: int             # projections resolved via GPTQ tensors
+
+    @property
+    def ok(self) -> bool:
+        return not self.missing
+
+    def summary(self) -> str:
+        lines = [
+            f"resolved: {len(self.resolved)} tensors"
+            + (f" ({self.gptq_projections} GPTQ-packed projections)"
+               if self.gptq_projections else ""),
+            f"tied embeddings: {self.tied_embeddings}",
+        ]
+        if self.missing:
+            lines.append(f"MISSING ({len(self.missing)}):")
+            lines += [f"  {k}" for k in self.missing]
+        if self.unused:
+            lines.append(f"unused checkpoint keys ({len(self.unused)}):")
+            lines += [f"  {k}" for k in self.unused]
+        if not self.missing and not self.unused:
+            lines.append("clean: every checkpoint tensor maps to a parameter")
+        return "\n".join(lines)
+
+
+_GPTQ_SUFFIXES = (".qweight", ".qzeros", ".scales", ".g_idx")
+
+
+def lint_checkpoint(
+    model_path: str, cfg: Optional[ChatTSConfig] = None
+) -> LintReport:
+    """Dry-run the key mapping of :func:`load_checkpoint` without reading any
+    tensor data, reporting unmatched keys instead of raising KeyError.
+
+    Use this before converting a real ChatTS-8B/14B export
+    (reference contract: chatts/vllm/chatts_vllm.py:467-470,612-625) to see
+    whether the loader understands the checkpoint's naming scheme.
+    """
+    if cfg is None:
+        cfg = ChatTSConfig.from_pretrained(model_path)
+    sd = ResolvedStateDict(LazyStateDict(model_path))
+
+    resolved: Dict[str, str] = {}
+    missing = []
+    gptq_projections = 0
+
+    def want(logical: str, required: bool = True) -> bool:
+        actual = sd.resolve(logical)
+        if actual is not None:
+            resolved[logical] = actual
+            sd.used.add(actual)
+            return True
+        if required:
+            missing.append(logical)
+        return False
+
+    def want_proj(logical: str, bias: bool):
+        nonlocal gptq_projections
+        if want(logical + ".weight", required=False):
+            pass
+        elif any(sd.resolve(logical + s) for s in _GPTQ_SUFFIXES[:3]):
+            gptq_projections += 1
+            for s in _GPTQ_SUFFIXES:
+                want(logical + s, required=(s != ".g_idx"))
+        else:
+            missing.append(logical + ".weight")
+        if bias:
+            want(logical + ".bias", required=False)
+
+    lcfg = cfg.llm
+    want("model.embed_tokens.weight")
+    want("model.norm.weight")
+    for i in range(lcfg.num_hidden_layers):
+        lp = f"model.layers.{i}."
+        want(lp + "input_layernorm.weight")
+        want(lp + "post_attention_layernorm.weight")
+        for proj in ("q_proj", "k_proj", "v_proj"):
+            want_proj(lp + "self_attn." + proj, bias=lcfg.attention_bias)
+        want_proj(lp + "self_attn.o_proj", bias=False)
+        for proj in ("gate_proj", "up_proj", "down_proj"):
+            want_proj(lp + "mlp." + proj, bias=False)
+        if lcfg.qk_norm:
+            want(lp + "self_attn.q_norm.weight")
+            want(lp + "self_attn.k_norm.weight")
+    tied = not want("lm_head.weight", required=False)
+    for i in range(cfg.ts.num_layers):
+        want(f"ts_encoder.mlp.{2 * i}.weight")
+        want(f"ts_encoder.mlp.{2 * i}.bias")
+    if cfg.ts.use_position_embedding:
+        want("ts_encoder.position_embedding.weight")
+
+    unused = tuple(sorted(set(sd.keys()) - sd.used))
+    return LintReport(
+        resolved=resolved,
+        missing=tuple(missing),
+        unused=unused,
+        tied_embeddings=tied,
+        gptq_projections=gptq_projections,
+    )
+
+
 def from_pretrained(
     model_path: str, *, dtype=jnp.bfloat16, mesh=None
 ) -> Tuple[ChatTSConfig, Dict[str, Any], Any]:
@@ -344,3 +506,11 @@ def from_pretrained(
             )
             break
     return cfg, params, tokenizer
+
+
+if __name__ == "__main__":  # conversion lint: python -m chatts_tpu.models.weights CKPT
+    import sys
+
+    report = lint_checkpoint(sys.argv[1])
+    print(report.summary())
+    sys.exit(0 if report.ok else 1)
