@@ -69,7 +69,10 @@ def spike_shape(
 ) -> np.ndarray:
     """1-3 point rise + optional 0-2 point peak + 1-3 point fall
     (reference: change_utils.py:38-53)."""
-    assert max_length is None or max_length >= 2
+    if max_length is not None and max_length < 2:
+        # Not enough room for a rise+fall; callers reject-and-resample
+        # (reference defensive-generation pattern, SURVEY §4.4).
+        raise ValueError("spike needs at least 2 points of room")
     while True:
         rise = rng.choice([1, 2, 3], p=[0.96, 0.03, 0.01])
         fall = rng.choice([1, 2, 3], p=[0.96, 0.03, 0.01])

@@ -194,13 +194,21 @@ class MetricSet:
 
     @classmethod
     def load(cls, path: Optional[str] = None) -> "MetricSet":
-        """Load from JSON (reference schema); env var METRIC_SET_PATH or the
-        built-in default otherwise."""
+        """Load from JSON (reference schema); env var METRIC_SET_PATH
+        otherwise.  Without a file, the default is the reference-scale
+        generated catalog (~23 categories, ~350 metrics —
+        :mod:`chatts_tpu.datagen.metric_catalog`); set
+        ``METRIC_SET_SCALE=compact`` to get the small built-in prior.
+        """
         path = path or os.environ.get("METRIC_SET_PATH")
         if path and os.path.exists(path):
             with open(path) as f:
                 return cls(json.load(f))
-        return cls()
+        if os.environ.get("METRIC_SET_SCALE") == "compact":
+            return cls()
+        from chatts_tpu.datagen.metric_catalog import build_metric_set
+
+        return cls(build_metric_set())
 
     def metric_to_controlled_attributes(self, metric: str) -> Optional[dict]:
         """Reference API (attribute_utils.py:29-30)."""
