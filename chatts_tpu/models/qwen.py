@@ -106,6 +106,7 @@ def attention_block(
     kv_lengths: Optional[jnp.ndarray] = None,
     rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     kv_limit: Optional[int] = None,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     b, t, _ = x.shape
     h, kvh, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -221,7 +222,13 @@ def attention_block(
         # that per-layer kernel-launch overhead outweighs the saved bandwidth
         # (measured on v5e), so "auto" only engages on large caches;
         # attn_impl="ragged" forces it, "xla" forces the reference path.
+        # Under a (dp, tp) mesh the kernel routes through shard_map over the
+        # kv-head/slot axes (a bare pallas_call has no partitioning rule);
+        # interpret mode lets the CPU virtual mesh run the same path.
+        from chatts_tpu.ops import ragged_decode_attention as rda
+
         int8_attend = kv_cache is not None and len(kv_cache) == 4
+        interp = rda.interpret_enabled()
         use_ragged = (
             t == 1
             and kv_lengths is not None
@@ -229,18 +236,38 @@ def attention_block(
                 attn_impl == "ragged"
                 or (attn_impl == "auto" and k_full.shape[2] >= 2048)
             )
-            and jax.default_backend() == "tpu"
+            and (jax.default_backend() == "tpu" or interp)
         )
-        if use_ragged:
-            from chatts_tpu.ops import ragged_decode_attention as rda
-
-            if rda.supported_hm(q[:, 0], k_full):
-                if int8_attend:
+        tp_mesh = None
+        if use_ragged and mesh is not None:
+            if rda.supported_tp(mesh, b, kvh, h):
+                tp_mesh = mesh
+            else:
+                use_ragged = False  # mesh does not divide the head/slot grid
+        if use_ragged and rda.supported_hm(q[:, 0], k_full, interpret=interp):
+            if int8_attend:
+                if tp_mesh is not None:
+                    out = rda.ragged_decode_attention_int8_tp(
+                        q[:, 0].astype(q.dtype),
+                        k_full, v_full, k_scale_att, v_scale_att,
+                        kv_lengths, mesh=tp_mesh,
+                        scale=d ** -0.5, interpret=interp,
+                    )[:, None]
+                else:
                     out = rda.ragged_decode_attention_int8(
                         q[:, 0].astype(q.dtype),
                         k_full, v_full, k_scale_att, v_scale_att,
                         kv_lengths,
-                        scale=d ** -0.5,
+                        scale=d ** -0.5, interpret=interp,
+                    )[:, None]
+            else:
+                if tp_mesh is not None:
+                    out = rda.ragged_decode_attention_tp(
+                        q[:, 0].astype(q.dtype),
+                        k_full.astype(q.dtype),
+                        v_full.astype(q.dtype),
+                        kv_lengths, mesh=tp_mesh,
+                        scale=d ** -0.5, interpret=interp,
                     )[:, None]
                 else:
                     out = rda.ragged_decode_attention(
@@ -248,10 +275,10 @@ def attention_block(
                         k_full.astype(q.dtype),
                         v_full.astype(q.dtype),
                         kv_lengths,
-                        scale=d ** -0.5,
+                        scale=d ** -0.5, interpret=interp,
                     )[:, None]
-                out = out.reshape(b, t, h * d)
-                return _dense(out, p["o_proj"]), new_cache
+            out = out.reshape(b, t, h * d)
+            return _dense(out, p["o_proj"]), new_cache
         # Fallback: einsum reference over the (B, KVH, S, D) cache view,
         # dequantizing first in int8 mode.
         if int8_attend:
@@ -301,12 +328,13 @@ def decoder_layer(
     kv_lengths=None,
     rope=None,
     kv_limit=None,
+    mesh=None,
 ):
     attn_in = rms_norm(x, layer_params["input_layernorm"], cfg.rms_norm_eps)
     attn_out, new_cache = attention_block(
         layer_params["self_attn"], attn_in, positions, cfg,
         kv_cache, write_pos, kv_valid, kv_positions, attn_impl, kv_lengths,
-        rope, kv_limit,
+        rope, kv_limit, mesh,
     )
     x = x + attn_out
     mlp_in = rms_norm(x, layer_params["post_attention_layernorm"], cfg.rms_norm_eps)
@@ -335,6 +363,7 @@ def forward(
     attn_impl: str = "auto",
     kv_lengths: Optional[jnp.ndarray] = None,
     kv_limit: Optional[int] = None,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, Optional[List[Tuple[jnp.ndarray, jnp.ndarray]]]]:
     """Run the decoder stack. Returns (hidden (B,T,H), updated kv caches).
 
@@ -360,7 +389,7 @@ def forward(
         x, new_cache = decoder_layer(
             layer_params, x, positions, cfg,
             cache_i, write_pos, kv_valid, kv_positions, attn_impl, kv_lengths,
-            rope, kv_limit,
+            rope, kv_limit, mesh,
         )
         if new_caches is not None:
             new_caches.append(new_cache)

@@ -16,6 +16,7 @@ tile — Mosaic rejects single-head slices of a (…, KVH, D) layout.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -25,6 +26,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK = 256
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def interpret_enabled() -> bool:
+    """Pallas interpret mode (CHATTS_RAGGED_INTERPRET=1): runs the kernel's
+    JAX semantics on CPU so the virtual-mesh tests exercise this exact code
+    path instead of silently falling back to dense XLA."""
+    return os.environ.get("CHATTS_RAGGED_INTERPRET", "") == "1"
 
 
 def _kernel(
@@ -111,7 +119,7 @@ def _kernel(
     out_ref[0, 0] = (acc / safe_l).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block"))
+@functools.partial(jax.jit, static_argnames=("scale", "block", "interpret"))
 def ragged_decode_attention(
     q: jnp.ndarray,  # (B, H, D) — one token per slot
     k_cache: jnp.ndarray,  # (B, KVH, S, D) head-major
@@ -120,6 +128,7 @@ def ragged_decode_attention(
     *,
     scale: Optional[float] = None,
     block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns (B, H, D) attention outputs in q's dtype."""
     b, h, d = q.shape
@@ -157,19 +166,112 @@ def ragged_decode_attention(
         functools.partial(_kernel, scale=float(scale), block=block),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kvh, g, d), q.dtype),
+        interpret=interpret,
     )(lengths.astype(jnp.int32), qg, k_cache, v_cache)
     return out.reshape(b, h, d)
 
 
-def supported_hm(q: jnp.ndarray, k_cache: jnp.ndarray, block: int = DEFAULT_BLOCK) -> bool:
+def supported_hm(
+    q: jnp.ndarray, k_cache: jnp.ndarray, block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+) -> bool:
     """Head-major (B, KVH, S, D) cache support check.
 
     D must be a multiple of 128: the per-head HBM DMA slices the cache's last
     dimension, and Mosaic requires that slice aligned to the (8, 128) tile
-    (D=64 fails with "Slice shape along dimension 3 must be aligned")."""
+    (D=64 fails with "Slice shape along dimension 3 must be aligned").
+    Interpret mode has no Mosaic tiling, so only the structural constraints
+    apply there."""
     b, h, d = q.shape
     _, kvh, s, _ = k_cache.shape
-    return d in (128, 256) and s % block == 0 and h % kvh == 0
+    structural = s % block == 0 and h % kvh == 0
+    if interpret:
+        return structural
+    return d in (128, 256) and structural
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel wrappers: the grid is (batch, kv_head), so under a (dp, tp)
+# mesh the kernel is embarrassingly parallel — shard_map splits the kv-head
+# axis over tp (queries ride along with their head group) and the slot axis
+# over dp, and each device runs the identical single-chip kernel on its
+# shard.  No collectives: attention never mixes heads or slots
+# (o_proj's row-sharded matmul does the tp reduction afterwards).
+# ---------------------------------------------------------------------------
+
+
+def supported_tp(mesh, batch: int, kv_heads: int, num_heads: int) -> bool:
+    """True when the (dp, tp) mesh divides the kernel grid cleanly."""
+    from chatts_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    tp = mesh.shape.get(MODEL_AXIS, 1)
+    dp = mesh.shape.get(DATA_AXIS, 1)
+    return kv_heads % tp == 0 and num_heads % tp == 0 and batch % dp == 0
+
+
+def ragged_decode_attention_tp(
+    q: jnp.ndarray,  # (B, H, D)
+    k_cache: jnp.ndarray,  # (B, KVH, S, D)
+    v_cache: jnp.ndarray,  # (B, KVH, S, D)
+    lengths: jnp.ndarray,  # (B,)
+    *,
+    mesh,
+    scale: Optional[float] = None,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    from jax.sharding import PartitionSpec as P
+
+    from chatts_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    qspec = P(DATA_AXIS, MODEL_AXIS, None)
+    kvspec = P(DATA_AXIS, MODEL_AXIS, None, None)
+    fn = functools.partial(
+        ragged_decode_attention, scale=float(scale), block=block,
+        interpret=interpret,
+    )
+    # check_vma=False: pallas_call does not declare varying-mesh-axes
+    # metadata; the specs above fully determine the layout.
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(qspec, kvspec, kvspec, P(DATA_AXIS)),
+        out_specs=qspec, check_vma=False,
+    )(q, k_cache, v_cache, lengths)
+
+
+def ragged_decode_attention_int8_tp(
+    q: jnp.ndarray,  # (B, H, D)
+    k_cache: jnp.ndarray,  # (B, KVH, S, D) int8
+    v_cache: jnp.ndarray,  # (B, KVH, S, D) int8
+    k_scale: jnp.ndarray,  # (B, KVH, S) float32
+    v_scale: jnp.ndarray,  # (B, KVH, S) float32
+    lengths: jnp.ndarray,  # (B,)
+    *,
+    mesh,
+    scale: Optional[float] = None,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    from jax.sharding import PartitionSpec as P
+
+    from chatts_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    qspec = P(DATA_AXIS, MODEL_AXIS, None)
+    kvspec = P(DATA_AXIS, MODEL_AXIS, None, None)
+    sspec = P(DATA_AXIS, MODEL_AXIS, None)
+    fn = functools.partial(
+        ragged_decode_attention_int8, scale=float(scale), block=block,
+        interpret=interpret,
+    )
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(qspec, kvspec, kvspec, sspec, sspec, P(DATA_AXIS)),
+        out_specs=qspec, check_vma=False,
+    )(q, k_cache, v_cache, k_scale, v_scale, lengths)
 
 
 # ---------------------------------------------------------------------------
@@ -263,7 +365,7 @@ def _kernel_int8(
     out_ref[0, 0] = (acc / safe_l).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block"))
+@functools.partial(jax.jit, static_argnames=("scale", "block", "interpret"))
 def ragged_decode_attention_int8(
     q: jnp.ndarray,  # (B, H, D)
     k_cache: jnp.ndarray,  # (B, KVH, S, D) int8
@@ -274,6 +376,7 @@ def ragged_decode_attention_int8(
     *,
     scale: Optional[float] = None,
     block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     b, h, d = q.shape
     _, kvh, s, _ = k_cache.shape
@@ -320,5 +423,6 @@ def ragged_decode_attention_int8(
         functools.partial(_kernel_int8, scale=float(scale), block=block),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kvh, g, d), q.dtype),
+        interpret=interpret,
     )(lengths.astype(jnp.int32), qg, k_s4, v_s4, k_cache, v_cache)
     return out.reshape(b, h, d)

@@ -152,3 +152,16 @@ def batch_specs() -> Dict[str, P]:
 def place_params(mesh: Mesh, cfg, params: Dict[str, Any]) -> Dict[str, Any]:
     """Device-put params with TP/DP shardings applied."""
     return jax.device_put(params, shardings_for_params(mesh, cfg, params))
+
+
+def infer_mesh(params: Dict[str, Any]) -> Mesh | None:
+    """The mesh the params were placed on, or None for single-device params.
+
+    Engines use this to decide whether device steps must route mesh-aware
+    ops (e.g. the ragged decode kernel's shard_map wrapper) — a bare
+    pallas_call inside jit has no partitioning rule under GSPMD."""
+    for leaf in jax.tree.leaves(params):
+        sharding = getattr(leaf, "sharding", None)
+        if isinstance(sharding, NamedSharding) and len(sharding.mesh.devices.flat) > 1:
+            return sharding.mesh
+    return None

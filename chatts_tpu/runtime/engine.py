@@ -131,6 +131,7 @@ def _decode_step(
     tokens,  # (B,) current input token
     cur_lens,  # (B,) tokens already in cache
     rng,
+    mesh=None,
 ):
     b = tokens.shape[0]
     cache_len = caches[0][0].shape[2]
@@ -144,6 +145,7 @@ def _decode_step(
         kv_valid=kv_valid, kv_positions=kv_positions,
         attn_impl=attn_impl,
         kv_lengths=(cur_lens + 1).astype(jnp.int32),
+        mesh=mesh,
     )
     logits = chatts.compute_logits(params, cfg, hidden)[:, 0]  # (B, V)
     next_token = sampling.sample(logits, rng, gen_cfg)
@@ -162,6 +164,7 @@ def _decode_chunk(
     cur_lens,  # (B,)
     done,  # (B,) bool
     rng,
+    mesh=None,
 ):
     """Run ``chunk_size`` decode steps fully on device via lax.scan.
 
@@ -175,7 +178,8 @@ def _decode_chunk(
         caches, tokens, cur_lens, done, rng = carry
         rng, key = jax.random.split(rng)
         caches, next_tok = _decode_step(
-            params, cfg, attn_impl, gen_cfg, caches, tokens, cur_lens, key
+            params, cfg, attn_impl, gen_cfg, caches, tokens, cur_lens, key,
+            mesh=mesh,
         )
         next_tok = jnp.where(done, pad_id, next_tok)
         new_done = done | jnp.any(next_tok[:, None] == eos_ids[None, :], axis=1)
@@ -220,8 +224,14 @@ class InferenceEngine:
             functools.partial(_prefill),
             static_argnames=("cfg", "cache_len", "cache_dtype", "attn_impl", "gen_cfg"),
         )
+        # Mesh-aware decode: TP/DP-sharded params route the ragged kernel
+        # through shard_map (the mesh is a hashable static arg).
+        from chatts_tpu.parallel.sharding import infer_mesh
+
+        self.mesh = infer_mesh(params)
         decode_kwargs = dict(
-            static_argnames=("cfg", "attn_impl", "gen_cfg", "chunk_size", "pad_id")
+            static_argnames=("cfg", "attn_impl", "gen_cfg", "chunk_size",
+                             "pad_id", "mesh")
         )
         if donate_cache:
             decode_kwargs["donate_argnames"] = ("caches",)
@@ -356,6 +366,7 @@ class InferenceEngine:
                 self.params, self.cfg, self.attn_impl, gen_cfg,
                 step, self.pad_id,
                 caches, tokens, cur_lens, done, loop_key,
+                mesh=self.mesh,
             )
             collected.append(np.asarray(toks))  # (B, step)
             done_host = np.asarray(done)

@@ -199,6 +199,7 @@ def _decode_all_slots(
     eos_ids,  # (E,) int32 (padded with -1)
     budget_left,  # (B,) int32 remaining tokens incl. this chunk
     rng,
+    mesh=None,
 ):
     """Advance every active slot ``chunk_size`` decode steps on device.
 
@@ -223,6 +224,7 @@ def _decode_all_slots(
             kv_valid=kv_valid, kv_positions=kv_positions,
             attn_impl=attn_impl,
             kv_lengths=kv_lengths,
+            mesh=mesh,
         )
         logits = chatts.compute_logits(params, cfg, hidden)[:, 0]
         next_tok = sampling.sample_per_slot(logits, key, temperature, top_p)
@@ -307,9 +309,15 @@ class ServeEngine:
             static_argnames=("cfg", "attn_impl"),
             donate_argnames=("caches",),
         )
+        # Mesh-aware decode: TP/DP-sharded params route the ragged
+        # kernel through shard_map (mesh is a hashable static arg).
+        from chatts_tpu.parallel.sharding import infer_mesh
+
+        self.mesh = infer_mesh(params)
         self._decode_jit = jax.jit(
             _decode_all_slots,
-            static_argnames=("cfg", "attn_impl", "chunk_size", "pad_id"),
+            static_argnames=("cfg", "attn_impl", "chunk_size", "pad_id",
+                             "mesh"),
             donate_argnames=("caches",),
         )
         # Chunked-admission pieces (reuse the batch engine's chunk step).
@@ -737,6 +745,7 @@ class ServeEngine:
             self.caches, self.tokens, self.cur_lens, active,
             self.temperature, self.top_p,
             jnp.asarray(eos_list, jnp.int32), self.budget, key,
+            mesh=self.mesh,
         )
         emitted_host = np.asarray(emitted)
         live_host = np.asarray(live)

@@ -202,13 +202,8 @@ def test_ragged_int8_matches_dequant_reference():
     v_deq = v_q.astype(jnp.float32) * v_s[..., None]
     ref = reference_decode(q, k_deq, v_deq, lens)
 
-    orig = mod.pl.pallas_call
-    try:
-        mod.pl.pallas_call = functools.partial(orig, interpret=True)
-        out = mod.ragged_decode_attention_int8.__wrapped__(
-            q, k_q, v_q, k_s, v_s, lens
-        )
-    finally:
-        mod.pl.pallas_call = orig
+    out = mod.ragged_decode_attention_int8(
+        q, k_q, v_q, k_s, v_s, lens, interpret=True
+    )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)

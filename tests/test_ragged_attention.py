@@ -38,13 +38,7 @@ def test_ragged_matches_reference(lengths):
     ref = reference_decode(q, k, v, lens)
 
     # interpret-mode pallas on CPU
-    import chatts_tpu.ops.ragged_decode_attention as mod
-    orig = mod.pl.pallas_call
-    try:
-        mod.pl.pallas_call = functools.partial(orig, interpret=True)
-        out = mod.ragged_decode_attention.__wrapped__(q, k, v, lens)
-    finally:
-        mod.pl.pallas_call = orig
+    out = rda.ragged_decode_attention(q, k, v, lens, interpret=True)
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
