@@ -110,6 +110,7 @@ def forward(
     kv_valid=None,
     kv_positions=None,
     attn_impl: str = "auto",
+    mesh=None,
 ):
     """Full forward: merge-embed -> decoder -> hidden states.
 
@@ -122,8 +123,10 @@ def forward(
         params["llm"], cfg.llm, embeds, positions,
         kv_caches=kv_caches, write_pos=write_pos,
         kv_valid=kv_valid, kv_positions=kv_positions, attn_impl=attn_impl,
+        mesh=mesh,
     )
 
 
-def compute_logits(params: Params, cfg: ChatTSConfig, hidden: jnp.ndarray):
-    return qwen.compute_logits(params["llm"], cfg.llm, hidden)
+def compute_logits(params: Params, cfg: ChatTSConfig, hidden: jnp.ndarray,
+                   mesh=None):
+    return qwen.compute_logits(params["llm"], cfg.llm, hidden, mesh=mesh)

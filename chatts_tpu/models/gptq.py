@@ -77,6 +77,45 @@ def has_gptq_tensors(sd, name: str) -> bool:
     return name + ".qweight" in sd
 
 
+def to_native_int4(sd, name: str):
+    """Losslessly convert the GPTQ linear at ``name`` to the first-party
+    int4 layout (ops/int4_matmul.py): returns {'kernel_q4', 'scales4'} or
+    None when the conversion cannot be exact / tileable.
+
+    Exactness requires symmetric zero-points (all zeros == 8, the common
+    ``sym=True`` GPTQ export) and trivial ``g_idx`` (no desc_act row
+    reorder): then W = scale * (code - 8) with code-8 in [-8, 7], which the
+    Pallas kernel's signed-int4 view represents exactly — no dequant/requant
+    round trip, unlike the host-dequant path (reference GPTQ serving:
+    README.md:260-263)."""
+    import jax.numpy as jnp
+
+    from chatts_tpu.ops import int4_matmul as i4
+
+    qweight = np.asarray(sd[name + ".qweight"])
+    qzeros = np.asarray(sd[name + ".qzeros"])
+    scales = np.asarray(sd[name + ".scales"], np.float32)
+    zeros = unpack_int4(qzeros, axis=1) + 1
+    if not np.all(zeros == 8):
+        return None  # asymmetric quantization: requires a dequant round trip
+    codes = unpack_int4(qweight, axis=0)  # (in, out)
+    in_dim, out_dim = codes.shape
+    groups = scales.shape[0]
+    if in_dim % groups != 0:
+        return None
+    group_size = in_dim // groups
+    if name + ".g_idx" in sd:
+        g_idx = np.asarray(sd[name + ".g_idx"])
+        if not np.array_equal(g_idx, np.arange(in_dim) // group_size):
+            return None  # desc_act reorder: fall back to host dequant
+    if not i4.supported(in_dim, out_dim, group_size):
+        return None
+    packed, scales4 = i4.pack_from_int4_values(
+        jnp.asarray(codes - 8, jnp.int8), jnp.asarray(scales)
+    )
+    return {"kernel_q4": packed, "scales4": scales4}
+
+
 def load_gptq_kernel(sd, name: str) -> np.ndarray:
     """Dequantize the GPTQ linear at ``name`` to a dense (in, out) kernel."""
     g_idx = None

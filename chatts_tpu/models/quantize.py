@@ -1,16 +1,23 @@
-"""Weight-only int8 quantization for decode throughput and memory.
+"""Weight-only int8 / int4 quantization for decode throughput and memory.
 
 Parity role: the reference ships GPTQ-Int4 checkpoint variants
 (reference: README.md:260-263) and relies on vLLM's quant kernels; here
-per-output-channel symmetric int8 is first-party.  Decode is HBM-bound —
-halving weight bytes roughly halves the per-token floor — and int8 weights
-let ChatTS-8B fit a single 16 GB v5e chip.
+both tiers are first-party.  Decode is HBM-bound — halving weight bytes
+roughly halves the per-token floor — int8 lets ChatTS-8B fit a single
+16 GB v5e chip; int4 halves the floor again and is the GPTQ-Int4 serving
+analog.
 
-Layout: each quantized dense layer stores ``kernel_q`` (in, out) int8 and
-``scales`` (out,) float32 with ``W ≈ kernel_q * scales``; the matmul runs
-``dot(x, kernel_q.astype(bf16)) * scales`` — XLA fuses the int8->bf16
-convert into the dot's HBM read, so only int8 bytes stream from memory.
+int8 layout: ``kernel_q`` (in, out) int8 + ``scales`` (out,) float32 with
+``W ≈ kernel_q * scales``; the matmul runs ``dot(x, kernel_q.astype(bf16))
+* scales`` — XLA fuses the int8->bf16 convert into the dot's HBM read.
 Per-output-channel scaling applied after the matmul is mathematically exact.
+
+int4 layout: ``kernel_q4`` (in//2, out) int8 with logical rows (2i, 2i+1)
+nibble-packed per byte + ``scales4`` (in//G, out) float32 group scales
+(G=128, the GPTQ choice — int4 needs group-wise scales for accuracy).
+XLA does NOT fuse nibble-unpacking, so the matmul is the first-party
+Pallas kernel :mod:`chatts_tpu.ops.int4_matmul`, which feeds the MXU's
+native int4 operand ingest (no unpack work at all).
 """
 from __future__ import annotations
 
@@ -53,9 +60,44 @@ def dequantize_dense(layer: Dict[str, Any], dtype=jnp.bfloat16) -> Dict[str, Any
     return out
 
 
-def quantize_llm(llm_params: Dict[str, Any], quantize_lm_head: bool = True) -> Dict[str, Any]:
+def quantize_dense_int4(
+    layer: Dict[str, Any], group_size: int = 128
+) -> Dict[str, Any]:
+    """{'kernel': (in, out)} -> {'kernel_q4': int8 packed, 'scales4': f32}.
+
+    Falls back to int8 when the shape doesn't tile for the Pallas kernel
+    (out not a multiple of 256, or in not a multiple of the group)."""
+    from chatts_tpu.ops import int4_matmul as i4
+
+    kernel = jnp.asarray(layer["kernel"])
+    in_dim, out_dim = kernel.shape
+    if not i4.supported(in_dim, out_dim, group_size):
+        return quantize_dense(layer)
+    packed, scales = i4.pack_int4(kernel.astype(jnp.float32), group_size)
+    out: Dict[str, Any] = {"kernel_q4": packed, "scales4": scales}
+    if "bias" in layer:
+        out["bias"] = layer["bias"]
+    return out
+
+
+def dequantize_dense_int4(layer: Dict[str, Any], dtype=jnp.bfloat16) -> Dict[str, Any]:
+    from chatts_tpu.ops import int4_matmul as i4
+
+    out = {"kernel": i4.dequantize(layer["kernel_q4"], layer["scales4"], dtype)}
+    if "bias" in layer:
+        out["bias"] = layer["bias"]
+    return out
+
+
+def quantize_llm(
+    llm_params: Dict[str, Any], quantize_lm_head: bool = True, bits: int = 8
+) -> Dict[str, Any]:
     """Quantize all decoder projection layers (norms, embeddings, and the TS
-    encoder stay full precision)."""
+    encoder stay full precision).  bits=8 -> per-channel int8; bits=4 ->
+    nibble-packed group-scaled int4 (Pallas matmul)."""
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+    qfn = quantize_dense_int4 if bits == 4 else quantize_dense
     new_layers = []
     for layer in llm_params["layers"]:
         new_layer = dict(layer)
@@ -63,31 +105,35 @@ def quantize_llm(llm_params: Dict[str, Any], quantize_lm_head: bool = True) -> D
             group = dict(new_layer[group_name])
             for mod, sub in list(group.items()):
                 if mod in QUANT_TARGETS and isinstance(sub, dict) and "kernel" in sub:
-                    group[mod] = quantize_dense(sub)
+                    group[mod] = qfn(sub)
             new_layer[group_name] = group
         new_layers.append(new_layer)
     out = dict(llm_params)
     out["layers"] = new_layers
     if quantize_lm_head and "lm_head" in out:
-        out["lm_head_q"] = quantize_dense({"kernel": out.pop("lm_head")})
+        out["lm_head_q"] = qfn({"kernel": out.pop("lm_head")})
     return out
 
 
-def quantize_params(params: Dict[str, Any], quantize_lm_head: bool = True) -> Dict[str, Any]:
+def quantize_params(
+    params: Dict[str, Any], quantize_lm_head: bool = True, bits: int = 8
+) -> Dict[str, Any]:
     return {
         "ts_encoder": params["ts_encoder"],
-        "llm": quantize_llm(params["llm"], quantize_lm_head),
+        "llm": quantize_llm(params["llm"], quantize_lm_head, bits=bits),
     }
 
 
-def init_quantized_params(cfg, key, fused: bool = True):
-    """Random-init a ChatTS model directly in the int8 layout (no full-size
-    bf16 intermediate — an 8B bf16 tree plus its int8 copy would not fit a
-    16 GB chip during conversion).  For capacity/perf proofs and profiling."""
+def init_quantized_params(cfg, key, fused: bool = True, bits: int = 8):
+    """Random-init a ChatTS model directly in the int8/int4 layout (no
+    full-size bf16 intermediate — an 8B bf16 tree plus its quantized copy
+    would not fit a 16 GB chip during conversion).  For capacity/perf proofs
+    and profiling."""
     import jax
 
     from chatts_tpu.core.config import ChatTSConfig
     from chatts_tpu.models import ts_encoder
+    from chatts_tpu.ops import int4_matmul as i4
 
     assert isinstance(cfg, ChatTSConfig)
     lcfg = cfg.llm
@@ -97,10 +143,21 @@ def init_quantized_params(cfg, key, fused: bool = True):
 
     def qdense(fan_in, fan_out, bias):
         k = next(keys)
-        out = {
-            "kernel_q": jax.random.randint(k, (fan_in, fan_out), -127, 128, jnp.int8),
-            "scales": jnp.full((fan_out,), 1.0 / (127 * np.sqrt(fan_in)), jnp.float32),
-        }
+        if bits == 4 and i4.supported(fan_in, fan_out):
+            out = {
+                "kernel_q4": jax.random.randint(
+                    k, (fan_in // 2, fan_out), -128, 128, jnp.int32
+                ).astype(jnp.int8),
+                "scales4": jnp.full(
+                    (fan_in // i4.DEFAULT_GROUP, fan_out),
+                    1.0 / (7 * np.sqrt(fan_in)), jnp.float32,
+                ),
+            }
+        else:
+            out = {
+                "kernel_q": jax.random.randint(k, (fan_in, fan_out), -127, 128, jnp.int8),
+                "scales": jnp.full((fan_out,), 1.0 / (127 * np.sqrt(fan_in)), jnp.float32),
+            }
         if bias:
             out["bias"] = jnp.zeros((fan_out,), jnp.bfloat16)
         return out

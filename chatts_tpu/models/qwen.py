@@ -74,8 +74,27 @@ def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
-def _dense(x: jnp.ndarray, layer: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-    if "kernel_q" in layer:
+def _dense(x: jnp.ndarray, layer: Dict[str, jnp.ndarray],
+           mesh=None) -> jnp.ndarray:
+    if "kernel_q4" in layer:
+        # Weight-only int4 (nibble-packed, group scales): XLA cannot fuse
+        # the unpack into a dot, so this routes through the Pallas matmul
+        # (ops/int4_matmul.py) on TPU.  Under a TP/DP mesh a bare
+        # pallas_call has no GSPMD partitioning rule, so sharded params
+        # take the dequant+dot fallback (still sharded, still correct);
+        # CPU (tests/virtual mesh) uses the same fallback.
+        from chatts_tpu.ops import int4_matmul as i4
+
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        if mesh is None and jax.default_backend() == "tpu":
+            y = i4.int4_matmul(x2, layer["kernel_q4"], layer["scales4"])
+            out = y.astype(jnp.float32)
+        else:
+            w = i4.dequantize(layer["kernel_q4"], layer["scales4"], x.dtype)
+            out = jnp.dot(x2, w, preferred_element_type=jnp.float32)
+        out = out.reshape(*lead, out.shape[-1])
+    elif "kernel_q" in layer:
         # Weight-only int8: the int8->bf16 convert fuses into the dot's HBM
         # read; per-output-channel scales applied post-matmul (exact).
         out = jnp.dot(
@@ -117,15 +136,15 @@ def attention_block(
         # packing the reference delegates to vLLM's packed_modules_mapping,
         # chatts_vllm.py:454-459).  Single-device layout: [q | k | v] along
         # the output dim.
-        qkv = _dense(x, p["qkv_proj"])
+        qkv = _dense(x, p["qkv_proj"], mesh)
         q, k, v = jnp.split(qkv, [h * d, h * d + kvh * d], axis=-1)
         q = q.reshape(b, t, h, d)
         k = k.reshape(b, t, kvh, d)
         v = v.reshape(b, t, kvh, d)
     else:
-        q = _dense(x, p["q_proj"]).reshape(b, t, h, d)
-        k = _dense(x, p["k_proj"]).reshape(b, t, kvh, d)
-        v = _dense(x, p["v_proj"]).reshape(b, t, kvh, d)
+        q = _dense(x, p["q_proj"], mesh).reshape(b, t, h, d)
+        k = _dense(x, p["k_proj"], mesh).reshape(b, t, kvh, d)
+        v = _dense(x, p["v_proj"], mesh).reshape(b, t, kvh, d)
 
     if cfg.qk_norm:
         q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
@@ -278,7 +297,7 @@ def attention_block(
                         scale=d ** -0.5, interpret=interp,
                     )[:, None]
             out = out.reshape(b, t, h * d)
-            return _dense(out, p["o_proj"]), new_cache
+            return _dense(out, p["o_proj"], mesh), new_cache
         # Fallback: einsum reference over the (B, KVH, S, D) cache view,
         # dequantizing first in int8 mode.
         if int8_attend:
@@ -302,17 +321,18 @@ def attention_block(
         impl=attn_impl,
     )
     out = out.reshape(b, t, h * d)
-    return _dense(out, p["o_proj"]), new_cache
+    return _dense(out, p["o_proj"], mesh), new_cache
 
 
-def mlp_block(layer_params: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
+def mlp_block(layer_params: Dict[str, Any], x: jnp.ndarray,
+              mesh=None) -> jnp.ndarray:
     if "gate_up_proj" in layer_params:
-        gate_up = _dense(x, layer_params["gate_up_proj"])
+        gate_up = _dense(x, layer_params["gate_up_proj"], mesh)
         gate, up = jnp.split(gate_up, 2, axis=-1)
     else:
-        gate = _dense(x, layer_params["gate_proj"])
-        up = _dense(x, layer_params["up_proj"])
-    return _dense(jax.nn.silu(gate) * up, layer_params["down_proj"])
+        gate = _dense(x, layer_params["gate_proj"], mesh)
+        up = _dense(x, layer_params["up_proj"], mesh)
+    return _dense(jax.nn.silu(gate) * up, layer_params["down_proj"], mesh)
 
 
 def decoder_layer(
@@ -338,7 +358,7 @@ def decoder_layer(
     )
     x = x + attn_out
     mlp_in = rms_norm(x, layer_params["post_attention_layernorm"], cfg.rms_norm_eps)
-    x = x + mlp_block(layer_params["mlp"], mlp_in)
+    x = x + mlp_block(layer_params["mlp"], mlp_in, mesh)
     return x, new_cache
 
 
@@ -397,10 +417,11 @@ def forward(
     return x, new_caches
 
 
-def compute_logits(params: Params, cfg: QwenConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+def compute_logits(params: Params, cfg: QwenConfig, hidden: jnp.ndarray,
+                   mesh=None) -> jnp.ndarray:
     """hidden (B, T, H) -> logits (B, T, V), float32."""
     if "lm_head_q" in params:
-        return _dense(hidden, params["lm_head_q"]).astype(jnp.float32)
+        return _dense(hidden, params["lm_head_q"], mesh).astype(jnp.float32)
     if cfg.tie_word_embeddings or "lm_head" not in params:
         table = params["embed_tokens"]
         return jnp.dot(

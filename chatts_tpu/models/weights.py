@@ -132,15 +132,24 @@ def load_checkpoint(
     dtype=jnp.bfloat16,
     mesh=None,
     quantize_int8: bool = False,
+    quantize_bits: Optional[int] = None,
 ) -> Tuple[ChatTSConfig, Dict[str, Any]]:
     """Load a ChatTS HF checkpoint directory into (config, params).
 
     With ``mesh`` given, every tensor is device_put with its TP sharding as it
     streams in (chatts_tpu.parallel.sharding rules).  With
-    ``quantize_int8=True`` every projection kernel is quantized per-tensor as
-    it streams (peak HBM = int8 model + one bf16 tensor), which is how an 8B
-    checkpoint fits a single 16 GB v5e chip.
+    ``quantize_bits=8`` (alias ``quantize_int8=True``) every projection
+    kernel is quantized per-tensor as it streams (peak HBM = int8 model +
+    one bf16 tensor), which is how an 8B checkpoint fits a single 16 GB v5e
+    chip; ``quantize_bits=4`` uses the nibble-packed group-scale layout
+    served by the Pallas int4 matmul — and GPTQ-Int4 checkpoints with
+    symmetric zero-points convert to it LOSSLESSLY (no host dequant->requant
+    round trip, models/gptq.py:to_native_int4).
     """
+    if quantize_int8 and quantize_bits is None:
+        quantize_bits = 8
+    if quantize_bits not in (None, 4, 8):
+        raise ValueError(f"quantize_bits must be 4 or 8, got {quantize_bits}")
     if cfg is None:
         cfg = ChatTSConfig.from_pretrained(model_path)
     sd = ResolvedStateDict(LazyStateDict(model_path))
@@ -174,23 +183,38 @@ def load_checkpoint(
         return jax.device_put(arr, shard_for(path_keys, arr.shape))
 
     def dense(name: str, bias: bool, path_keys, cast=dtype):
+        out = None
+        kernel = None
         if name + ".weight" in sd:
             kernel = jnp.asarray(sd[name + ".weight"]).astype(cast).T
         else:
-            # GPTQ-Int4 checkpoint (reference: README.md:260-263): packed
-            # tensors dequantize on host to the (in, out) kernel layout.
+            # GPTQ-Int4 checkpoint (reference: README.md:260-263).
             from chatts_tpu.models import gptq
 
             if not gptq.has_gptq_tensors(sd, name):
                 raise KeyError(f"{name}: neither .weight nor .qweight found")
-            kernel = jnp.asarray(gptq.load_gptq_kernel(sd, name)).astype(cast)
-        if quantize_int8:
+            if quantize_bits == 4:
+                # Lossless direct import when the export is symmetric.
+                out = gptq.to_native_int4(sd, name)
+                for suffix in (".qweight", ".qzeros", ".scales", ".g_idx"):
+                    if name + suffix in sd:
+                        sd[name + suffix]  # mark consumed for the lint
+            if out is None:
+                kernel = jnp.asarray(gptq.load_gptq_kernel(sd, name)).astype(cast)
+        if out is None and quantize_bits == 4:
+            from chatts_tpu.models.quantize import quantize_dense_int4
+
+            out = quantize_dense_int4({"kernel": kernel})
+            del kernel
+        elif out is None and quantize_bits == 8:
             from chatts_tpu.models.quantize import quantize_dense
 
             out = quantize_dense({"kernel": kernel})
             del kernel
-        else:
-            out = {"kernel": place(kernel, path_keys + ("kernel",))}
+        elif out is None:
+            out = {"kernel": kernel}
+        if mesh is not None:
+            out = {k: place(v, path_keys + (k,)) for k, v in out.items()}
         if bias and name + ".bias" in sd:
             out["bias"] = place(
                 sd.get_jnp(name + ".bias", cast), path_keys + ("bias",)
@@ -251,7 +275,12 @@ def load_checkpoint(
     }
     if not tied:
         lm_head = jnp.asarray(sd["lm_head.weight"]).astype(dtype).T
-        if quantize_int8:
+        if quantize_bits == 4:
+            from chatts_tpu.models.quantize import quantize_dense_int4
+
+            llm_params["lm_head_q"] = quantize_dense_int4({"kernel": lm_head})
+            del lm_head
+        elif quantize_bits == 8:
             from chatts_tpu.models.quantize import quantize_dense
 
             llm_params["lm_head_q"] = quantize_dense({"kernel": lm_head})

@@ -18,24 +18,45 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from chatts_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
+def _col_specs() -> Dict[str, Any]:
+    """Column-parallel dense: output dim over tp, for every weight layout
+    (bf16 kernel; int8 kernel_q + per-channel scales; int4 kernel_q4 packed
+    rows + group scales — both quant layouts keep the out dim last)."""
+    return {
+        "kernel": P(None, MODEL_AXIS), "bias": P(MODEL_AXIS),
+        "kernel_q": P(None, MODEL_AXIS), "scales": P(MODEL_AXIS),
+        "kernel_q4": P(None, MODEL_AXIS), "scales4": P(None, MODEL_AXIS),
+    }
+
+
+def _row_specs() -> Dict[str, Any]:
+    """Row-parallel dense: input dim over tp; per-out-channel int8 scales
+    replicate, int4 group scales shard with their input groups."""
+    return {
+        "kernel": P(MODEL_AXIS, None),
+        "kernel_q": P(MODEL_AXIS, None), "scales": P(),
+        "kernel_q4": P(MODEL_AXIS, None), "scales4": P(MODEL_AXIS, None),
+    }
+
+
 def _attn_specs() -> Dict[str, Any]:
-    col = {"kernel": P(None, MODEL_AXIS), "bias": P(MODEL_AXIS)}
+    col = _col_specs()
     return {
         "q_proj": col,
         "k_proj": col,
         "v_proj": col,
-        "o_proj": {"kernel": P(MODEL_AXIS, None)},
+        "o_proj": _row_specs(),
         "q_norm": P(),
         "k_norm": P(),
     }
 
 
 def _mlp_specs() -> Dict[str, Any]:
-    col = {"kernel": P(None, MODEL_AXIS)}
+    col = _col_specs()
     return {
         "gate_proj": col,
         "up_proj": col,
-        "down_proj": {"kernel": P(MODEL_AXIS, None)},
+        "down_proj": _row_specs(),
     }
 
 
@@ -55,6 +76,7 @@ def llm_param_specs(num_layers: int) -> Dict[str, Any]:
         "layers": [layer_specs() for _ in range(num_layers)],
         "norm": P(),
         "lm_head": P(None, MODEL_AXIS),
+        "lm_head_q": _col_specs(),
     }
 
 

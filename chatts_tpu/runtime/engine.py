@@ -54,6 +54,7 @@ def _prefill(
     scatter_seq,
     scatter_tok,
     rng,
+    mesh=None,
 ):
     b, t = input_ids.shape
     caches = kv_cache.allocate(cfg.llm, b, cache_len, cache_dtype)
@@ -65,12 +66,12 @@ def _prefill(
         scatter_seq=scatter_seq, scatter_tok=scatter_tok,
         kv_caches=caches, write_pos=None,
         kv_valid=kv_valid, kv_positions=kv_positions,
-        attn_impl=attn_impl,
+        attn_impl=attn_impl, mesh=mesh,
     )
     last = jnp.take_along_axis(
         hidden, (seq_lens - 1)[:, None, None].astype(jnp.int32), axis=1
     )  # (B, 1, H)
-    logits = chatts.compute_logits(params, cfg, last)[:, 0]  # (B, V)
+    logits = chatts.compute_logits(params, cfg, last, mesh=mesh)[:, 0]  # (B, V)
     next_token = sampling.sample(logits, rng, gen_cfg)
     return caches, next_token
 
@@ -91,6 +92,7 @@ def _prefill_chunk(
     positions,  # (B, C)
     write_slots,  # (B, C) absolute cache slots for this chunk
     seq_lens,  # (B,)
+    mesh=None,
 ):
     """One transformer pass over a prompt chunk, writing KV at write_slots.
 
@@ -109,16 +111,16 @@ def _prefill_chunk(
         params["llm"], cfg.llm, embeds, positions,
         kv_caches=caches, write_pos=write_slots,
         kv_valid=kv_valid, kv_positions=kv_positions,
-        attn_impl=attn_impl, kv_limit=kv_limit,
+        attn_impl=attn_impl, kv_limit=kv_limit, mesh=mesh,
     )
     return hidden, caches
 
 
-def _sample_last(params, cfg, gen_cfg, hidden, seq_lens, rng):
+def _sample_last(params, cfg, gen_cfg, hidden, seq_lens, rng, mesh=None):
     last = jnp.take_along_axis(
         hidden, (seq_lens - 1)[:, None, None].astype(jnp.int32), axis=1
     )
-    logits = chatts.compute_logits(params, cfg, last)[:, 0]
+    logits = chatts.compute_logits(params, cfg, last, mesh=mesh)[:, 0]
     return sampling.sample(logits, rng, gen_cfg)
 
 
@@ -147,7 +149,7 @@ def _decode_step(
         kv_lengths=(cur_lens + 1).astype(jnp.int32),
         mesh=mesh,
     )
-    logits = chatts.compute_logits(params, cfg, hidden)[:, 0]  # (B, V)
+    logits = chatts.compute_logits(params, cfg, hidden, mesh=mesh)[:, 0]  # (B, V)
     next_token = sampling.sample(logits, rng, gen_cfg)
     return caches, next_token
 
@@ -222,7 +224,8 @@ class InferenceEngine:
         self.prefill_chunk = prefill_chunk
         self._prefill_jit = jax.jit(
             functools.partial(_prefill),
-            static_argnames=("cfg", "cache_len", "cache_dtype", "attn_impl", "gen_cfg"),
+            static_argnames=("cfg", "cache_len", "cache_dtype", "attn_impl",
+                             "gen_cfg", "mesh"),
         )
         # Mesh-aware decode: TP/DP-sharded params route the ragged kernel
         # through shard_map (the mesh is a hashable static arg).
@@ -241,11 +244,11 @@ class InferenceEngine:
         self._embed_jit = jax.jit(_embed_prompt, static_argnames=("cfg",))
         self._prefill_chunk_jit = jax.jit(
             _prefill_chunk,
-            static_argnames=("cfg", "attn_impl", "kv_limit"),
+            static_argnames=("cfg", "attn_impl", "kv_limit", "mesh"),
             donate_argnames=("caches",) if donate_cache else (),
         )
         self._sample_last_jit = jax.jit(
-            _sample_last, static_argnames=("cfg", "gen_cfg")
+            _sample_last, static_argnames=("cfg", "gen_cfg", "mesh")
         )
 
     def _chunked_prefill(self, batch: ProcessedBatch, gen_cfg, cache_len, rng):
@@ -287,12 +290,13 @@ class InferenceEngine:
             hidden, caches = self._prefill_chunk_jit(
                 self.params, self.cfg, self.attn_impl, kv_limit,
                 caches, embeds[:, o:o + c], positions[:, o:o + c],
-                write_slots, seq_lens,
+                write_slots, seq_lens, mesh=self.mesh,
             )
             hiddens.append(hidden)
         full_hidden = jnp.concatenate(hiddens, axis=1)
         next_token = self._sample_last_jit(
-            self.params, self.cfg, gen_cfg, full_hidden, seq_lens, rng
+            self.params, self.cfg, gen_cfg, full_hidden, seq_lens, rng,
+            mesh=self.mesh,
         )
         return caches, next_token
 
@@ -343,6 +347,7 @@ class InferenceEngine:
                 jnp.asarray(batch.scatter_seq),
                 jnp.asarray(batch.scatter_tok),
                 step_key,
+                mesh=self.mesh,
             )
         first_tokens = np.asarray(next_token)
         ttft = time.perf_counter() - start

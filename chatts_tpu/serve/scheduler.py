@@ -90,6 +90,7 @@ def _prefill_batch(
     temperature,  # (Bp,) float32
     top_p,  # (Bp,) float32
     rng,
+    mesh=None,
 ):
     """Prefill up to Bp requests in ONE forward pass and place each row's
     prompt K/V into its cache slot.  Batched admission is what keeps serving
@@ -128,7 +129,7 @@ def _prefill_batch(
         params["llm"], cfg.llm, embeds, positions,
         kv_caches=small_caches, write_pos=None,
         kv_valid=kv_valid, kv_positions=kv_positions,
-        attn_impl=attn_impl,
+        attn_impl=attn_impl, mesh=mesh,
     )
     # Place each row's prompt K/V into its slot (first t positions only):
     # gather prefill rows into slot order, select against the old content,
@@ -151,7 +152,7 @@ def _prefill_batch(
     last = jnp.take_along_axis(
         hidden, (seq_lens - 1)[:, None, None].astype(jnp.int32), axis=1
     )
-    logits = chatts.compute_logits(params, cfg, last)[:, 0]  # (Bp, V)
+    logits = chatts.compute_logits(params, cfg, last, mesh=mesh)[:, 0]  # (Bp, V)
     tokens = sampling.sample_per_slot(logits, rng, temperature, top_p)
     return new_caches, tokens
 
@@ -176,11 +177,12 @@ def _place_slots(caches, small_caches, inv_ids, slot_mask, t):
     return new_caches
 
 
-def _sample_slots_last(params, cfg, hidden, seq_lens, temperature, top_p, rng):
+def _sample_slots_last(params, cfg, hidden, seq_lens, temperature, top_p, rng,
+                       mesh=None):
     last = jnp.take_along_axis(
         hidden, (seq_lens - 1)[:, None, None].astype(jnp.int32), axis=1
     )
-    logits = chatts.compute_logits(params, cfg, last)[:, 0]
+    logits = chatts.compute_logits(params, cfg, last, mesh=mesh)[:, 0]
     return sampling.sample_per_slot(logits, rng, temperature, top_p)
 
 
@@ -226,7 +228,7 @@ def _decode_all_slots(
             kv_lengths=kv_lengths,
             mesh=mesh,
         )
-        logits = chatts.compute_logits(params, cfg, hidden)[:, 0]
+        logits = chatts.compute_logits(params, cfg, hidden, mesh=mesh)[:, 0]
         next_tok = sampling.sample_per_slot(logits, key, temperature, top_p)
         emit = jnp.where(live, next_tok, -1)
         hit_eos = jnp.any(next_tok[:, None] == eos_ids[None, :], axis=1)
@@ -306,7 +308,7 @@ class ServeEngine:
 
         self._prefill_jit = jax.jit(
             _prefill_batch,
-            static_argnames=("cfg", "attn_impl"),
+            static_argnames=("cfg", "attn_impl", "mesh"),
             donate_argnames=("caches",),
         )
         # Mesh-aware decode: TP/DP-sharded params route the ragged
@@ -328,14 +330,14 @@ class ServeEngine:
         )
         self._chunk_jit = jax.jit(
             _batch_engine._prefill_chunk,
-            static_argnames=("cfg", "attn_impl", "kv_limit"),
+            static_argnames=("cfg", "attn_impl", "kv_limit", "mesh"),
             donate_argnames=("caches",),
         )
         self._place_jit = jax.jit(
             _place_slots, static_argnames=("t",), donate_argnames=("caches",)
         )
         self._sample_slots_jit = jax.jit(
-            _sample_slots_last, static_argnames=("cfg",)
+            _sample_slots_last, static_argnames=("cfg", "mesh")
         )
 
         self.waiting: "queue.Queue[Request]" = queue.Queue()
@@ -584,6 +586,7 @@ class ServeEngine:
             jnp.asarray(batch.scatter_seq),
             jnp.asarray(batch.scatter_tok),
             jnp.asarray(temp), jnp.asarray(topp), key,
+            mesh=self.mesh,
         )
         self._finalize_admission(reqs, slots, keep_rows, first)
 
@@ -697,7 +700,7 @@ class ServeEngine:
         hidden, st["small"] = self._chunk_jit(
             self.params, self.cfg, self.attn_impl, kv_limit,
             st["small"], st["embeds"][:, o:o + c], st["pos"][:, o:o + c],
-            write_slots, st["seq_dev"],
+            write_slots, st["seq_dev"], mesh=self.mesh,
         )
         st["hiddens"].append(hidden)
         st["o"] = o + c
@@ -707,6 +710,7 @@ class ServeEngine:
         first = self._sample_slots_jit(
             self.params, self.cfg, full_hidden, st["seq_dev"],
             jnp.asarray(st["temp"]), jnp.asarray(st["topp"]), st["key"],
+            mesh=self.mesh,
         )
         t_place = min(st["t_pad"], self.max_model_len)
         self.caches = self._place_jit(

@@ -21,6 +21,10 @@ def main():
     parser.add_argument("--quantize-int8", action="store_true",
                         help="int8 weight-only quantization at load "
                              "(fits an 8B checkpoint on one v5e chip)")
+    parser.add_argument("--quantize-int4", action="store_true",
+                        help="int4 weight-only quantization (nibble-packed, "
+                             "group scales, Pallas matmul); GPTQ-Int4 "
+                             "checkpoints import losslessly")
     parser.add_argument("--kv-int8", action="store_true",
                         help="int8 KV cache (halves per-slot cache memory)")
     parser.add_argument("--prefill-chunk", type=int, default=None,
@@ -37,10 +41,11 @@ def main():
     from chatts_tpu.serve.scheduler import ServeEngine
     from chatts_tpu.serve.server import ChatTSServer
 
+    quant_bits = 4 if args.quantize_int4 else (8 if args.quantize_int8 else None)
     if args.model:
-        if args.quantize_int8:
+        if quant_bits:
             cfg, params = weights.load_checkpoint(args.model,
-                                                  quantize_int8=True)
+                                                  quantize_bits=quant_bits)
             from transformers import AutoTokenizer
 
             tokenizer = AutoTokenizer.from_pretrained(args.model,
@@ -70,7 +75,7 @@ def main():
         cache_dtype=jnp.int8 if args.kv_int8 else jnp.bfloat16,
         decode_chunk=args.decode_chunk,
         prefill_chunk=args.prefill_chunk,
-        fuse=not args.quantize_int8,
+        fuse=not quant_bits,
     )
     if not args.no_warmup:
         print("[serve] warming up prefill buckets...")

@@ -10,6 +10,7 @@ MAX_MODEL_LEN=${MAX_MODEL_LEN:-6144}
 MAX_BATCH=${MAX_BATCH:-8}
 EXTRA=()
 [[ "${QUANTIZE_INT8:-0}" == "1" ]] && EXTRA+=(--quantize-int8)
+[[ "${QUANTIZE_INT4:-0}" == "1" ]] && EXTRA+=(--quantize-int4)
 [[ "${KV_INT8:-0}" == "1" ]] && EXTRA+=(--kv-int8)
 [[ -n "${PREFILL_CHUNK:-}" ]] && EXTRA+=(--prefill-chunk "$PREFILL_CHUNK")
 [[ -n "${DECODE_CHUNK:-}" ]] && EXTRA+=(--decode-chunk "$DECODE_CHUNK")

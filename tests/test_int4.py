@@ -1,0 +1,223 @@
+"""int4 weight-only quantization (GPTQ-Int4 serving analog, reference
+README.md:260-263): pack/dequant layout invariants, Pallas-kernel semantics
+via the interpret path, engine forward closeness, lossless GPTQ import, and
+checkpoint loading with quantize_bits=4."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chatts_tpu.core.config import GenerationConfig, tiny_config
+from chatts_tpu.models import chatts, gptq, quantize, weights
+from chatts_tpu.ops import int4_matmul as i4
+from chatts_tpu.processor.processor import ChatTSProcessor
+from chatts_tpu.runtime.engine import InferenceEngine
+from tests.helpers import FakeTokenizer
+
+
+def test_pack_dequant_roundtrip_exact_on_grid():
+    """Values already on the int4 grid survive pack -> dequantize exactly."""
+    rng = np.random.default_rng(0)
+    ng, g, out = 3, 128, 256
+    in_dim = ng * g
+    scales = rng.uniform(0.01, 0.2, size=(ng, out)).astype(np.float32)
+    q = rng.integers(-7, 8, size=(in_dim, out)).astype(np.int8)
+    w = q.astype(np.float32).reshape(ng, g, out) * scales[:, None, :]
+    w = w.reshape(in_dim, out)
+    packed, s = i4.pack_int4(jnp.asarray(w), group_size=g)
+    assert packed.shape == (in_dim // 2, out)
+    got = np.asarray(i4.dequantize(packed, s))
+    np.testing.assert_allclose(got, w, rtol=1e-5, atol=1e-7)
+
+
+def test_pack_layout_row_interleaved():
+    """Byte row i holds logical rows (2i, 2i+1), low nibble first — the
+    hardware bitcast order the kernel relies on."""
+    q = np.zeros((4, 2), np.int8)
+    q[0, 0], q[1, 0] = 3, -5  # byte[0,0] = (3 & 0xF) | (-5 << 4)
+    packed, _ = i4.pack_from_int4_values(
+        jnp.asarray(q), jnp.ones((1, 2), jnp.float32)
+    )
+    b = int(np.asarray(packed)[0, 0])
+    assert (b & 0xF) == 3
+    assert (np.int8(b) >> 4) == -5
+    np.testing.assert_array_equal(np.asarray(i4.unpack_values(packed)), q)
+
+
+def test_quantize_error_bound():
+    rng = np.random.default_rng(1)
+    w = rng.normal(0, 0.05, size=(256, 128)).astype(np.float32)
+    packed, scales = i4.pack_int4(jnp.asarray(w))
+    deq = np.asarray(i4.dequantize(packed, scales))
+    # per-group symmetric int4: |err| <= scale/2 within each group
+    s = np.asarray(scales)
+    g = 256 // s.shape[0]
+    err = np.abs(deq - w).reshape(s.shape[0], g, -1)
+    assert np.all(err <= s[:, None, :] * 0.51)
+
+
+def test_kernel_interpret_matches_reference():
+    """The Pallas kernel (interpret mode, CPU) == dequant + dot."""
+    rng = jax.random.PRNGKey(2)
+    kw, kx = jax.random.split(rng)
+    w = jax.random.normal(kw, (384, 256), jnp.float32) / 20.0
+    x = jax.random.normal(kx, (9, 384), jnp.float32)
+    packed, scales = i4.pack_int4(w)
+    ref = jnp.dot(x, i4.dequantize(packed, scales))
+    got = i4.int4_matmul(x, packed, scales, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def _tiny():
+    cfg = tiny_config(vocab_size=256, hidden_size=128, intermediate_size=256,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, patch_size=4,
+                      max_sequence_length=64, ts_token_start_index=240)
+    params = chatts.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return cfg, params
+
+
+def test_quantize_params_bits4_forward_close():
+    cfg, params = _tiny()
+    qparams = quantize.quantize_params(params, bits=4)
+    # all projections converted (128/256-wide dims tile)
+    attn = qparams["llm"]["layers"][0]["self_attn"]
+    assert "kernel_q4" in attn["q_proj"]
+    assert "kernel_q4" in qparams["llm"]["layers"][0]["mlp"]["gate_proj"]
+    ids = np.arange(12)[None] % 256
+    pos = np.arange(12)[None]
+
+    def logits(p):
+        hidden, _ = chatts.forward(p, cfg, jnp.asarray(ids), jnp.asarray(pos),
+                                   attn_impl="xla")
+        return np.asarray(chatts.compute_logits(p, cfg, hidden))
+
+    l1, l2 = logits(params), logits(qparams)
+    # int4 on a tiny RANDOM model is noisy in the worst coordinate (~0.4
+    # max-rel here; real checkpoints are far more robust per the GPTQ
+    # literature) — assert distribution-level agreement instead.
+    cos = float((l1 * l2).sum()
+                / np.sqrt((l1 * l1).sum() * (l2 * l2).sum()))
+    assert cos > 0.9, cos
+    assert l1[0, -1].argmax() == l2[0, -1].argmax()
+
+
+def test_quantize_params_bits4_memory():
+    cfg, params = _tiny()
+    q8 = quantize.quantize_params(params, bits=8)
+    q4 = quantize.quantize_params(params, bits=4)
+
+    def proj_bytes(p):
+        tot = 0
+        for layer in p["llm"]["layers"]:
+            for grp in ("self_attn", "mlp"):
+                for sub in layer[grp].values():
+                    if isinstance(sub, dict):
+                        for v in sub.values():
+                            tot += v.size * v.dtype.itemsize
+        return tot
+
+    # int4 projections (packed + group scales) well under int8 + scales
+    assert proj_bytes(q4) < 0.62 * proj_bytes(q8)
+
+
+def test_engine_generate_int4_runs_and_tracks_bf16():
+    cfg, params = _tiny()
+    proc = ChatTSProcessor(FakeTokenizer(vocab_limit=200), cfg)
+    batch = proc(["look at <ts><ts/> data"], [np.sin(np.arange(16.0))])
+    gen = GenerationConfig(max_new_tokens=8, greedy=True)
+    ref = InferenceEngine(params, cfg, fuse=False).generate(batch, gen)
+    q4 = quantize.quantize_params(params, bits=4)
+    got = InferenceEngine(q4, cfg, fuse=False).generate(batch, gen)
+    # int4 is lossy and tiny random models have nearly-flat logits; greedy
+    # paths diverge after the first step.  Require the first token to agree
+    # and the run to complete (logit closeness is pinned separately).
+    assert got.token_ids[0][0] == ref.token_ids[0][0]
+    assert len(got.token_ids[0]) == len(ref.token_ids[0])
+
+
+def test_unsupported_shape_falls_back_to_int8():
+    # out dim 96 (not a multiple of 128) cannot tile: falls back to int8
+    layer = {"kernel": jnp.ones((128, 96), jnp.float32)}
+    out = quantize.quantize_dense_int4(layer)
+    assert "kernel_q" in out and "kernel_q4" not in out
+
+
+def test_gptq_symmetric_converts_losslessly():
+    """A symmetric GPTQ export (zeros == 8) converts to the native layout
+    with bit-exact dequantization."""
+    rng = np.random.default_rng(3)
+    in_f, out_f, groups = 256, 128, 2
+    codes = rng.integers(0, 16, size=(in_f, out_f), dtype=np.int32)
+    zeros = np.full((groups, out_f), 8, np.int32)
+    scales = rng.uniform(0.01, 0.1, size=(groups, out_f)).astype(np.float32)
+    sd = {
+        "w.qweight": gptq.pack_int4(codes, axis=0),
+        "w.qzeros": gptq.pack_int4(zeros - 1, axis=1),
+        "w.scales": scales,
+    }
+    out = gptq.to_native_int4(sd, "w")
+    assert out is not None
+    ref = gptq.dequantize(sd["w.qweight"], sd["w.qzeros"], scales)
+    got = np.asarray(i4.dequantize(out["kernel_q4"], out["scales4"]))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+
+def test_gptq_asymmetric_returns_none():
+    rng = np.random.default_rng(4)
+    in_f, out_f, groups = 256, 128, 2
+    codes = rng.integers(0, 16, size=(in_f, out_f), dtype=np.int32)
+    zeros = rng.integers(1, 16, size=(groups, out_f), dtype=np.int32)
+    zeros[0, 0] = 5  # ensure not all-8
+    sd = {
+        "w.qweight": gptq.pack_int4(codes, axis=0),
+        "w.qzeros": gptq.pack_int4(zeros - 1, axis=1),
+        "w.scales": np.ones((groups, out_f), np.float32),
+    }
+    assert gptq.to_native_int4(sd, "w") is None
+
+
+def test_load_checkpoint_quantize_bits4(tmp_path):
+    cfg, params = _tiny()
+    path = str(tmp_path / "ckpt")
+    weights.save_checkpoint(path, cfg, params)
+    cfg2, qparams = weights.load_checkpoint(path, quantize_bits=4)
+    attn = qparams["llm"]["layers"][0]["self_attn"]
+    assert "kernel_q4" in attn["q_proj"]
+    proc = ChatTSProcessor(FakeTokenizer(vocab_limit=200), cfg2)
+    batch = proc(["inspect <ts><ts/> now"], [np.arange(16.0)])
+    r = InferenceEngine(qparams, cfg2, fuse=False).generate(
+        batch, GenerationConfig(max_new_tokens=4, greedy=True)
+    )
+    assert len(r.token_ids[0]) <= 4
+
+
+def test_int4_params_place_and_run_under_tp_mesh():
+    """int4 layouts shard under Megatron specs and the forward takes the
+    GSPMD-safe dequant+dot fallback (a bare pallas_call has no partitioning
+    rule under a mesh)."""
+    import jax
+
+    from chatts_tpu.parallel import mesh as mesh_lib
+    from chatts_tpu.parallel import sharding
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device mesh")
+    cfg, params = _tiny()
+    q4 = quantize.quantize_params(params, bits=4)
+    mesh = mesh_lib.create_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    sharded = sharding.place_params(mesh, cfg, q4)
+    # column-parallel q_proj packed weight shards over out
+    qp = sharded["llm"]["layers"][0]["self_attn"]["q_proj"]
+    spec = qp["kernel_q4"].sharding.spec
+    assert spec == jax.sharding.PartitionSpec(None, "tp"), spec
+    ids = np.arange(8)[None] % 256
+    pos = np.arange(8)[None]
+    hidden, _ = chatts.forward(sharded, cfg, jnp.asarray(ids),
+                               jnp.asarray(pos), attn_impl="xla",
+                               mesh=mesh)
+    ref_hidden, _ = chatts.forward(q4, cfg, jnp.asarray(ids),
+                                   jnp.asarray(pos), attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(hidden), np.asarray(ref_hidden),
+                               rtol=2e-2, atol=2e-3)
