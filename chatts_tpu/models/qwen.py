@@ -363,6 +363,252 @@ def decoder_layer(
 
 
 # ---------------------------------------------------------------------------
+# Mixed prefill+decode layer (continuous batching's fused step)
+# ---------------------------------------------------------------------------
+
+def _decode_attend_cache(
+    q1: jnp.ndarray,  # (B, 1, H, D) single-token queries
+    cache,  # layer cache tuple (2-tuple bf16 or 4-tuple int8)
+    kv_valid: jnp.ndarray,  # (B, S)
+    kv_positions: jnp.ndarray,  # (B, S)
+    q_positions: jnp.ndarray,  # (B, 1)
+    kv_lengths: jnp.ndarray,  # (B,)
+    cfg: QwenConfig,
+    attn_impl: str,
+    mesh,
+) -> jnp.ndarray:
+    """Single-token decode attention against head-major caches with the same
+    ragged-kernel dispatch rules as attention_block (kernel at capacity
+    >= 2048 on TPU or when forced; dense masked einsum otherwise)."""
+    from chatts_tpu.ops import ragged_decode_attention as rda
+
+    b, _, h, d = q1.shape
+    kvh = cfg.num_key_value_heads
+    int8_kv = len(cache) == 4
+    if int8_kv:
+        k_full, v_full, k_scale, v_scale = cache
+    else:
+        k_full, v_full = cache
+        k_scale = v_scale = None
+    interp = rda.interpret_enabled()
+    use_ragged = (
+        attn_impl == "ragged"
+        or (attn_impl == "auto" and k_full.shape[2] >= 2048)
+    ) and (jax.default_backend() == "tpu" or interp)
+    tp_mesh = None
+    if use_ragged and mesh is not None:
+        if rda.supported_tp(mesh, b, kvh, h):
+            tp_mesh = mesh
+        else:
+            use_ragged = False
+    if use_ragged and rda.supported_hm(q1[:, 0], k_full, interpret=interp):
+        q0 = q1[:, 0]
+        if int8_kv:
+            fn = (rda.ragged_decode_attention_int8_tp if tp_mesh is not None
+                  else rda.ragged_decode_attention_int8)
+            kwargs = {"mesh": tp_mesh} if tp_mesh is not None else {}
+            out = fn(q0, k_full, v_full, k_scale, v_scale, kv_lengths,
+                     scale=d ** -0.5, interpret=interp, **kwargs)
+        else:
+            fn = (rda.ragged_decode_attention_tp if tp_mesh is not None
+                  else rda.ragged_decode_attention)
+            kwargs = {"mesh": tp_mesh} if tp_mesh is not None else {}
+            out = fn(q0, k_full.astype(q0.dtype), v_full.astype(q0.dtype),
+                     kv_lengths, scale=d ** -0.5, interpret=interp, **kwargs)
+        return out[:, None].reshape(b, 1, h, d)
+    if int8_kv:
+        k_attn = jnp.swapaxes(
+            k_full.astype(jnp.float32) * k_scale[..., None], 1, 2
+        ).astype(q1.dtype)
+        v_attn = jnp.swapaxes(
+            v_full.astype(jnp.float32) * v_scale[..., None], 1, 2
+        ).astype(q1.dtype)
+    else:
+        k_attn = jnp.swapaxes(k_full, 1, 2).astype(q1.dtype)
+        v_attn = jnp.swapaxes(v_full, 1, 2).astype(q1.dtype)
+    return attention(
+        q1, k_attn, v_attn,
+        q_positions=q_positions, kv_positions=kv_positions,
+        kv_valid=kv_valid, scale=d ** -0.5, impl="xla",
+    )
+
+
+def _mixed_attention(
+    layer_params: Dict[str, Any],
+    x: jnp.ndarray,  # (1, Tp, hidden) packed: B decode tokens, then A*npt
+    positions: jnp.ndarray,  # (1, Tp)
+    cfg: QwenConfig,
+    cache,  # big-cache layer tuple
+    b: int,
+    a: int,
+    npt: int,
+    write_rows: jnp.ndarray,  # (Tp,) cache row per packed token (OOB = drop)
+    adm_slots: jnp.ndarray,  # (A,)
+    adm_seq_lens: jnp.ndarray,  # (A,)
+    dec_kv_valid: jnp.ndarray,  # (B, S)
+    kv_positions: jnp.ndarray,  # (B, S)
+    dec_kv_lengths: jnp.ndarray,  # (B,)
+    kv_limit: int,
+    attn_impl: str,
+    rope,
+    mesh,
+):
+    _, tp, _ = x.shape
+    h, kvh, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    p = layer_params
+
+    if "qkv_proj" in p:
+        qkv = _dense(x, p["qkv_proj"], mesh)
+        q, k, v = jnp.split(qkv, [h * d, h * d + kvh * d], axis=-1)
+        q = q.reshape(1, tp, h, d)
+        k = k.reshape(1, tp, kvh, d)
+        v = v.reshape(1, tp, kvh, d)
+    else:
+        q = _dense(x, p["q_proj"], mesh).reshape(1, tp, h, d)
+        k = _dense(x, p["k_proj"], mesh).reshape(1, tp, kvh, d)
+        v = _dense(x, p["v_proj"], mesh).reshape(1, tp, kvh, d)
+    if cfg.qk_norm:
+        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
+    cos, sin = rope
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    # One combined scatter per cache buffer: decode tokens write at their
+    # slot/cur_len, prompt tokens at (admission slot, absolute position).
+    # Rows are disjoint (admission slots are free slots), padded admission
+    # rows carry out-of-bounds row indices and drop.
+    int8_kv = len(cache) == 4
+    if int8_kv:
+        k_cache, v_cache, k_scale, v_scale = cache
+    else:
+        k_cache, v_cache = cache
+        k_scale = v_scale = None
+    kt = k[0]  # (Tp, KVH, D)
+    vt = v[0]
+    if int8_kv:
+        amax_k = jnp.max(jnp.abs(kt.astype(jnp.float32)), axis=-1)
+        s_k = jnp.maximum(amax_k / 127.0, 1e-8)
+        kt_q = jnp.clip(jnp.round(kt.astype(jnp.float32) / s_k[..., None]),
+                        -127, 127).astype(jnp.int8)
+        amax_v = jnp.max(jnp.abs(vt.astype(jnp.float32)), axis=-1)
+        s_v = jnp.maximum(amax_v / 127.0, 1e-8)
+        vt_q = jnp.clip(jnp.round(vt.astype(jnp.float32) / s_v[..., None]),
+                        -127, 127).astype(jnp.int8)
+    else:
+        kt_q, vt_q = kt.astype(k_cache.dtype), vt.astype(v_cache.dtype)
+    row_idx = write_rows[:, None]  # (Tp, 1)
+    head_idx = jnp.arange(kvh)[None, :]  # (1, KVH)
+    pos_idx = positions[0][:, None]  # (Tp, 1)
+    k_cache = k_cache.at[row_idx, head_idx, pos_idx].set(
+        kt_q, mode="drop", unique_indices=True)
+    v_cache = v_cache.at[row_idx, head_idx, pos_idx].set(
+        vt_q, mode="drop", unique_indices=True)
+    if int8_kv:
+        k_scale = k_scale.at[row_idx, head_idx, pos_idx].set(
+            s_k, mode="drop", unique_indices=True)
+        v_scale = v_scale.at[row_idx, head_idx, pos_idx].set(
+            s_v, mode="drop", unique_indices=True)
+        new_cache = (k_cache, v_cache, k_scale, v_scale)
+    else:
+        new_cache = (k_cache, v_cache)
+
+    # Decode phase: B single-token queries, same dispatch as the pure
+    # decode step (ragged kernel stays on the hot path during admissions).
+    q_dec = q[0, :b][:, None]  # (B, 1, H, D)
+    out_dec = _decode_attend_cache(
+        q_dec, new_cache, dec_kv_valid, kv_positions,
+        positions[0, :b][:, None], dec_kv_lengths, cfg, attn_impl, mesh,
+    )  # (B, 1, H, D)
+
+    # Prompt phase: gather the admission slots' cache prefix (static
+    # kv_limit slice fused into the row gather) and run masked attention.
+    # Causality over not-yet-written tail positions falls out of the
+    # positions formula; garbage beyond a row's seq_len is masked by
+    # kv_valid (same invariants as the chunked batch prefill,
+    # runtime/engine.py::_prefill_chunk).
+    def slice_rows(buf):
+        return jnp.take(
+            jax.lax.slice_in_dim(buf, 0, kv_limit, axis=2), adm_slots, axis=0
+        )
+
+    k_adm = slice_rows(k_cache)
+    v_adm = slice_rows(v_cache)
+    if int8_kv:
+        k_adm = (k_adm.astype(jnp.float32)
+                 * slice_rows(k_scale)[..., None])
+        v_adm = (v_adm.astype(jnp.float32)
+                 * slice_rows(v_scale)[..., None])
+    q_pro = q[0, b:].reshape(a, npt, h, d)
+    pro_positions = positions[0, b:].reshape(a, npt)
+    adm_kv_pos = jnp.tile(jnp.arange(kv_limit, dtype=jnp.int32)[None], (a, 1))
+    adm_kv_valid = adm_kv_pos < adm_seq_lens[:, None]
+    out_pro = attention(
+        q_pro,
+        jnp.swapaxes(k_adm, 1, 2).astype(q_pro.dtype),
+        jnp.swapaxes(v_adm, 1, 2).astype(q_pro.dtype),
+        q_positions=pro_positions, kv_positions=adm_kv_pos,
+        kv_valid=adm_kv_valid, scale=d ** -0.5, impl="xla",
+    )  # (A, npt, H, D)
+
+    out = jnp.concatenate(
+        [out_dec.reshape(1, b, h * d), out_pro.reshape(1, a * npt, h * d)],
+        axis=1,
+    )
+    return _dense(out, p["o_proj"], mesh), new_cache
+
+
+def forward_mixed(
+    params: Params,
+    cfg: QwenConfig,
+    embeds: jnp.ndarray,  # (1, Tp, hidden) packed
+    positions: jnp.ndarray,  # (1, Tp)
+    *,
+    b: int,
+    a: int,
+    npt: int,
+    write_rows: jnp.ndarray,
+    adm_slots: jnp.ndarray,
+    adm_seq_lens: jnp.ndarray,
+    kv_caches,
+    dec_kv_valid: jnp.ndarray,
+    kv_positions: jnp.ndarray,
+    dec_kv_lengths: jnp.ndarray,
+    kv_limit: int,
+    attn_impl: str = "auto",
+    mesh=None,
+):
+    """Fused mixed prefill+decode forward (vLLM-style mixed batches — the
+    behavior the reference gets from the forked vllm scheduler, reference:
+    scripts/install_vllm_server.sh:20-22).
+
+    One packed token stream of B decode tokens + A*npt prompt-chunk tokens
+    runs through every matmul TOGETHER — the prompt chunk rides the decode
+    step's weight reads, so admission costs attention-only on top of decode
+    instead of stalling it.  Only attention and the cache write are
+    phase-split.  Returns (hidden (1, Tp, hidden) post-final-norm, caches).
+    """
+    x = embeds
+    rope = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    new_caches = []
+    for i, layer_params in enumerate(params["layers"]):
+        attn_in = rms_norm(x, layer_params["input_layernorm"], cfg.rms_norm_eps)
+        attn_out, new_cache = _mixed_attention(
+            layer_params["self_attn"], attn_in, positions, cfg,
+            kv_caches[i], b, a, npt, write_rows, adm_slots, adm_seq_lens,
+            dec_kv_valid, kv_positions, dec_kv_lengths, kv_limit,
+            attn_impl, rope, mesh,
+        )
+        x = x + attn_out
+        mlp_in = rms_norm(x, layer_params["post_attention_layernorm"],
+                          cfg.rms_norm_eps)
+        x = x + mlp_block(layer_params["mlp"], mlp_in, mesh)
+        new_caches.append(new_cache)
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    return x, new_caches
+
+
+# ---------------------------------------------------------------------------
 # Full model
 # ---------------------------------------------------------------------------
 

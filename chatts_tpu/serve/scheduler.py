@@ -157,33 +157,128 @@ def _prefill_batch(
     return new_caches, tokens
 
 
-def _place_slots(caches, small_caches, inv_ids, slot_mask, t):
-    """Gather-based slot placement (see _prefill_batch) as its own jit step,
-    used by the chunked admission path where prompt K/V accumulates in small
-    caches across several chunk calls before placement."""
-    sel = slot_mask[:, None, None, None]
-    sel3 = slot_mask[:, None, None]
-    new_caches = []
-    for big, small in zip(caches, small_caches):
-        updated = []
-        for b, s in zip(big, small):
-            src = jax.lax.slice_in_dim(s, 0, t, axis=2)
-            gathered = jnp.take(src, inv_ids, axis=0).astype(b.dtype)
-            mask = sel if gathered.ndim == 4 else sel3
-            old = jax.lax.slice_in_dim(b, 0, t, axis=2)
-            new = jnp.where(mask, gathered, old)
-            updated.append(jax.lax.dynamic_update_slice(b, new, (0,) * b.ndim))
-        new_caches.append(tuple(updated))
-    return new_caches
-
-
-def _sample_slots_last(params, cfg, hidden, seq_lens, temperature, top_p, rng,
-                       mesh=None):
-    last = jnp.take_along_axis(
-        hidden, (seq_lens - 1)[:, None, None].astype(jnp.int32), axis=1
-    )
-    logits = chatts.compute_logits(params, cfg, last, mesh=mesh)[:, 0]
+def _sample_admission_first(params, cfg, last_hidden, temperature, top_p, rng,
+                            mesh=None):
+    """First token for each admission row from its captured (post-norm)
+    hidden state at seq_len-1."""
+    logits = chatts.compute_logits(params, cfg, last_hidden[:, None],
+                                   mesh=mesh)[:, 0]
     return sampling.sample_per_slot(logits, rng, temperature, top_p)
+
+
+def _slice_admission(embeds, offset, c: int):
+    """(A, t_pad, H) -> this round's (A, c, H) token slice."""
+    return jax.lax.dynamic_slice_in_dim(embeds, offset, c, axis=1)
+
+
+def _mixed_step_all_slots(
+    params,
+    cfg: ChatTSConfig,
+    attn_impl: str,
+    chunk_size: int,
+    npt: int,
+    kv_limit: int,
+    caches,  # donated
+    tokens,  # (B,)
+    cur_lens,  # (B,)
+    active,  # (B,) bool
+    temperature,  # (B,)
+    top_p,  # (B,)
+    eos_ids,  # (E,)
+    budget_left,  # (B,)
+    adm_slots,  # (A,) int32 — cache rows for admission reads (pads -> 0)
+    adm_write_rows,  # (A,) int32 — write rows (pads -> out-of-bounds, dropped)
+    adm_embeds,  # (A, chunk*npt, H) this round's prompt slice
+    adm_offset,  # scalar int32 — absolute position of adm_embeds[:, 0]
+    adm_seq_lens,  # (A,)
+    adm_last_hidden,  # (A, H) float32 carry — hidden at seq_len-1
+    rng,
+    mesh=None,
+):
+    """One serving round that advances ALL decode slots ``chunk_size`` steps
+    AND consumes ``chunk_size * npt`` prompt tokens of the in-flight
+    admission — ONE jit'd executable per scheduler iteration (VERDICT r1
+    item 1; the vLLM mixed-batch behavior, reference:
+    scripts/install_vllm_server.sh:20-22).
+
+    Per scan step, B decode tokens and A*npt prompt tokens run through the
+    decoder's matmuls as one packed stream (qwen.forward_mixed), so the
+    prompt chunk amortizes the same weight reads the decode step already
+    pays.  Prompt K/V lands DIRECTLY in the big caches at the admission
+    slots — no transient caches, no placement pass.
+    """
+    b = tokens.shape[0]
+    a, c_total, hdim = adm_embeds.shape
+    cache_len = caches[0][0].shape[2]
+    kv_positions = jnp.tile(jnp.arange(cache_len, dtype=jnp.int32)[None], (b, 1))
+    xs_embeds = jnp.swapaxes(
+        adm_embeds.reshape(a, chunk_size, npt, hdim), 0, 1
+    )  # (chunk, A, npt, H)
+    step_offsets = adm_offset + jnp.arange(chunk_size, dtype=jnp.int32) * npt
+    # INACTIVE decode rows include the admission slots themselves (they are
+    # not live until their first token): their placeholder writes at stale
+    # cur_lens would corrupt freshly-written prompt K/V, so route them to
+    # distinct out-of-bounds rows (dropped; distinct keeps scatter indices
+    # unique — the admission pads use rows [b, b+a)).
+    dec_rows = jnp.where(
+        active, jnp.arange(b, dtype=jnp.int32),
+        b + a + jnp.arange(b, dtype=jnp.int32),
+    )
+    write_rows_const = jnp.concatenate(
+        [dec_rows, jnp.repeat(adm_write_rows.astype(jnp.int32), npt)]
+    )
+
+    def body(carry, xs):
+        caches, tokens, cur_lens, live, budget, last_h, rng = carry
+        emb_i, off_i = xs
+        rng, key = jax.random.split(rng)
+        dec_embeds = qwen.embed_tokens(params["llm"], tokens[:, None])  # (B,1,H)
+        pro_pos = off_i + jnp.arange(npt, dtype=jnp.int32)
+        positions_pack = jnp.concatenate(
+            [cur_lens.astype(jnp.int32), jnp.tile(pro_pos, a)]
+        )[None]
+        x_pack = jnp.concatenate(
+            [dec_embeds[:, 0], emb_i.reshape(a * npt, hdim).astype(dec_embeds.dtype)]
+        )[None]
+        dec_kv_valid = (kv_positions <= cur_lens[:, None]) & active[:, None]
+        dec_kv_lengths = jnp.where(active, cur_lens + 1, 1).astype(jnp.int32)
+        hidden, caches = qwen.forward_mixed(
+            params["llm"], cfg.llm, x_pack, positions_pack,
+            b=b, a=a, npt=npt, write_rows=write_rows_const,
+            adm_slots=adm_slots, adm_seq_lens=adm_seq_lens,
+            kv_caches=caches, dec_kv_valid=dec_kv_valid,
+            kv_positions=kv_positions, dec_kv_lengths=dec_kv_lengths,
+            kv_limit=kv_limit, attn_impl=attn_impl, mesh=mesh,
+        )
+        dec_hidden = hidden[:, :b]  # (1, B, H) -> logits per slot
+        logits = chatts.compute_logits(
+            params, cfg, jnp.swapaxes(dec_hidden, 0, 1), mesh=mesh
+        )[:, 0]
+        next_tok = sampling.sample_per_slot(logits, key, temperature, top_p)
+        emit = jnp.where(live, next_tok, -1)
+        hit_eos = jnp.any(next_tok[:, None] == eos_ids[None, :], axis=1)
+        budget = budget - jnp.where(live, 1, 0)
+        new_live = live & ~hit_eos & (budget > 0)
+        tokens = jnp.where(live, next_tok, tokens)
+        cur_lens = cur_lens + jnp.where(live, 1, 0).astype(cur_lens.dtype)
+        pro_hidden = hidden[0, b:].reshape(a, npt, hdim)
+        cap = (pro_pos[None, :] == (adm_seq_lens - 1)[:, None])  # (A, npt)
+        last_h = last_h + jnp.sum(
+            jnp.where(cap[..., None], pro_hidden.astype(jnp.float32), 0.0),
+            axis=1,
+        )
+        return (caches, tokens, cur_lens, new_live, budget, last_h, rng), emit
+
+    live0 = active & (budget_left > 0)
+    (caches, tokens, cur_lens, live, budget_left, adm_last_hidden, rng), emitted = (
+        jax.lax.scan(
+            body,
+            (caches, tokens, cur_lens, live0, budget_left, adm_last_hidden, rng),
+            (xs_embeds, step_offsets),
+        )
+    )
+    return (caches, tokens, cur_lens, live, budget_left, adm_last_hidden,
+            emitted.T)
 
 
 def _decode_all_slots(
@@ -264,6 +359,8 @@ class ServeEngine:
         seed: int = 0,
         fuse: bool = True,
         prefill_chunk: Optional[int] = None,
+        mixed_admission: bool = True,
+        mixed_npt: int = 32,
     ):
         if fuse:
             params = chatts.maybe_fuse(params)
@@ -279,11 +376,19 @@ class ServeEngine:
         self.max_batch_size = max_batch_size
         self.max_model_len = max_model_len
         self.decode_chunk = decode_chunk
-        # Prompts bucketing above this length prefill in fixed-size chunks
-        # at admission (same machinery as the batch engine's chunked
-        # prefill): transformer compile shapes stay bounded for long-prompt
-        # traffic instead of one monolithic compile per token bucket.
+        # Prompts bucketing above this length always admit through the MIXED
+        # path (even with no live slots): transformer compile shapes stay
+        # bounded for long-prompt traffic instead of one monolithic compile
+        # per token bucket.
         self.prefill_chunk = prefill_chunk
+        # Mixed admission: while any slot is decoding, admissions run
+        # through the fused prefill+decode step (prompt tokens ride the
+        # decode weight reads) instead of a monolithic prefill that stalls
+        # decode.  mixed_npt = prompt tokens consumed per admission row per
+        # decode scan step.
+        self.mixed_admission = mixed_admission
+        self.mixed_npt = mixed_npt
+        self._a_bucket = min(8, max_batch_size)
         self.attn_impl = attn_impl
         self.eos_token_ids = tuple(eos_token_ids)
         self.pad_id = processor.pad_token_id
@@ -302,9 +407,9 @@ class ServeEngine:
 
         self.slots: List[Optional[Request]] = [None] * b
         self.live_host = np.zeros((b,), bool)
-        # In-flight long-prompt admission (one chunk advances per loop
-        # iteration, interleaved with decode rounds).
-        self._pending_chunked: Optional[Dict[str, Any]] = None
+        # In-flight mixed admission (prompt tokens consumed inside the
+        # decode rounds; see _mixed_step_all_slots).
+        self._pending_mixed: Optional[Dict[str, Any]] = None
 
         self._prefill_jit = jax.jit(
             _prefill_batch,
@@ -322,22 +427,21 @@ class ServeEngine:
                              "mesh"),
             donate_argnames=("caches",),
         )
-        # Chunked-admission pieces (reuse the batch engine's chunk step).
+        # Mixed-admission pieces.
         from chatts_tpu.runtime import engine as _batch_engine
 
         self._embed_jit = jax.jit(
             _batch_engine._embed_prompt, static_argnames=("cfg",)
         )
-        self._chunk_jit = jax.jit(
-            _batch_engine._prefill_chunk,
-            static_argnames=("cfg", "attn_impl", "kv_limit", "mesh"),
+        self._mixed_jit = jax.jit(
+            _mixed_step_all_slots,
+            static_argnames=("cfg", "attn_impl", "chunk_size", "npt",
+                             "kv_limit", "mesh"),
             donate_argnames=("caches",),
         )
-        self._place_jit = jax.jit(
-            _place_slots, static_argnames=("t",), donate_argnames=("caches",)
-        )
-        self._sample_slots_jit = jax.jit(
-            _sample_slots_last, static_argnames=("cfg", "mesh")
+        self._slice_jit = jax.jit(_slice_admission, static_argnames=("c",))
+        self._sample_first_jit = jax.jit(
+            _sample_admission_first, static_argnames=("cfg", "mesh")
         )
 
         self.waiting: "queue.Queue[Request]" = queue.Queue()
@@ -403,6 +507,57 @@ class ServeEngine:
                         time.sleep(0.01)
                     if req.error:
                         print(f"[warmup] bucket {bucket} failed: {req.error}")
+        if self.mixed_admission:
+            self._warmup_mixed(prefill_buckets, series_per_request, series_len)
+
+    def _warmup_mixed(self, prefill_buckets, series_per_request, series_len):
+        """Compile the fused mixed prefill+decode step: keep one request
+        decoding, admit an overlapping batch per bucket (the admission
+        routes through _mixed_step_all_slots)."""
+        import numpy as np
+
+        from chatts_tpu.core import encoding
+
+        holes = " ".join(encoding.TS_PAIR for _ in range(series_per_request))
+
+        def mkseries():
+            return [np.sin(np.arange(float(series_len)))
+                    for _ in range(series_per_request)]
+
+        runner = Request(
+            f"runner {holes}", mkseries(),
+            SamplingParams(max_tokens=4096, temperature=0.0),
+        )
+        self.submit(runner)
+        deadline = time.time() + 600
+        while not runner.output_tokens:
+            if time.time() > deadline or runner.error:
+                print("[warmup] mixed runner failed to start")
+                return
+            time.sleep(0.01)
+        for bucket in sorted(prefill_buckets):
+            words = " ".join("warm" for _ in range(max(1, bucket - 64)))
+            reqs = [
+                Request(f"{words} {holes}", mkseries(),
+                        SamplingParams(max_tokens=2, temperature=0.0))
+                for _ in range(self._a_bucket)
+            ]
+            for req in reqs:
+                self.submit(req)
+            for req in reqs:
+                while req.finished_s is None and req.error is None:
+                    if time.time() > deadline:
+                        print(f"[warmup] mixed bucket {bucket} timed out")
+                        runner.cancel()
+                        return
+                    time.sleep(0.01)
+                if req.error:
+                    print(f"[warmup] mixed bucket {bucket} failed: {req.error}")
+        runner.cancel()
+        while runner.finished_s is None and runner.error is None:
+            if time.time() > deadline:
+                return
+            time.sleep(0.01)
 
     def submit(self, request: Request) -> Request:
         self.total_requests += 1
@@ -457,8 +612,8 @@ class ServeEngine:
         admission); a request that fails processing is isolated by a
         per-request fallback, and one that exceeds max_model_len is rejected
         after the shared processing pass without poisoning the batch."""
-        if self._pending_chunked is not None:
-            return  # a long admission is in flight; new ones wait
+        if self._pending_mixed is not None:
+            return  # an admission is in flight; new ones wait
         free = self._free_slots()
         candidates: List[Request] = []
         while free and not self.waiting.empty() and len(candidates) < len(free):
@@ -513,15 +668,19 @@ class ServeEngine:
             keep_rows.append(i)
         if not admitted:
             return
-        # Long-prompt (chunked) admissions are capped at 8 rows so the
-        # transient small caches stay bounded (8 x model-len capacity);
-        # overflow goes back to the queue and admits next round.
-        if (self.prefill_chunk is not None
-                and batch.input_ids.shape[1] > self.prefill_chunk
-                and len(admitted) > 8):
-            for req in admitted[8:]:
+        # Mixed admissions are capped at the admission bucket (8 rows: one
+        # compiled shape, staggered TTFTs); overflow goes back to the queue
+        # and admits next round — the first sub-batch is already decoding
+        # while the next one prefills.
+        use_mixed = self.mixed_admission and (
+            self.live_host.any()
+            or (self.prefill_chunk is not None
+                and batch.input_ids.shape[1] > self.prefill_chunk)
+        )
+        if use_mixed and len(admitted) > self._a_bucket:
+            for req in admitted[self._a_bucket:]:
                 self.waiting.put(req)
-            admitted = admitted[:8]
+            admitted = admitted[: self._a_bucket]
             batch = self.processor(
                 [req.prompt for req in admitted],
                 [ts for req in admitted for ts in req.timeseries],
@@ -529,14 +688,18 @@ class ServeEngine:
             keep_rows = list(range(len(admitted)))
         try:
             self._prefill_requests(admitted, free[: len(admitted)], batch,
-                                   keep_rows)
+                                   keep_rows, use_mixed)
         except Exception as err:
             for req in admitted:
                 req.error = f"{type(err).__name__}: {err}"
                 req.stream_queue.put(None)
 
     def _prefill_requests(self, reqs: List[Request], slots: List[int],
-                          batch, keep_rows: List[int]) -> None:
+                          batch, keep_rows: List[int],
+                          use_mixed: bool = False) -> None:
+        if use_mixed:
+            self._start_mixed_admission(reqs, slots, keep_rows, batch)
+            return
         kb = batch.input_ids.shape[0]
         t = batch.input_ids.shape[1]
         # Admission-row buckets: small bursts use an 8-row prefill (~4x
@@ -565,15 +728,6 @@ class ServeEngine:
             topp[row] = req.params.top_p
 
         self.rng, key = jax.random.split(self.rng)
-        if self.prefill_chunk is not None and t > self.prefill_chunk:
-            # Long prompt: admission proceeds chunk-by-chunk, interleaved
-            # with decode rounds by the engine loop (live slots keep
-            # decoding while the prompt prefills).
-            self._start_chunked_admission(
-                reqs, slots, keep_rows, batch, input_ids, positions,
-                seq_lens, inv_ids, slot_mask, temp, topp, key,
-            )
-            return
         self.caches, first = self._prefill_jit(
             self.params, self.cfg, self.attn_impl, self.caches,
             jnp.asarray(inv_ids),
@@ -631,37 +785,25 @@ class ServeEngine:
         self.top_p = jnp.asarray(topp_h)
         self.budget = jnp.asarray(budget_h)
 
-    def _start_chunked_admission(self, reqs, slots, keep_rows, batch,
-                                 input_ids, positions, seq_lens,
-                                 inv_ids, slot_mask, temp, topp, key):
-        """Begin a long-prompt admission: the prompt runs through the
-        decoder in fixed-size chunks accumulating K/V in small caches, ONE
-        chunk per engine-loop iteration (interleaved with decode rounds so
-        live slots never starve during a long prefill), then one gather
-        step places the result into the big caches.  Chunk compiles are
-        keyed on (chunk, kv_limit, small-capacity) with the capacity rounded
-        to kv_step multiples, so they are shared across token buckets."""
-        bp, t = input_ids.shape
-        c = self.prefill_chunk
-        # All chunked-path shapes quantize to kv_step multiples (a multiple
-        # of the chunk size, >= 2048): the working length t_pad takes one of
-        # <= model_len/kv_step values and the small-cache capacity is fixed
-        # at the rounded model length, so the embed/sample/placement
-        # compiles are shared across token buckets and the chunk compiles
-        # are keyed only on kv_limit.  Per-bucket shapes recompiled the
-        # whole chain for every new prompt-length bucket (~30-80 s each on
-        # the remote-compile tunnel).
-        kv_step = max(2 * c, -(-2048 // c) * c)
-        t_pad = -(-t // kv_step) * kv_step
-        t_cap = -(-max(self.max_model_len, t_pad) // kv_step) * kv_step
-        if t_pad > t:
-            input_ids = np.pad(
-                input_ids, ((0, 0), (0, t_pad - t)),
-                constant_values=self.processor.pad_token_id,
-            )
-            positions = np.pad(positions, ((0, 0), (0, t_pad - t)),
-                               mode="edge")
+    def _start_mixed_admission(self, reqs, slots, keep_rows, batch) -> None:
+        """Begin a mixed admission: the prompt's merged embeddings are
+        precomputed once, then every engine-loop iteration consumes
+        ``decode_chunk * mixed_npt`` prompt tokens INSIDE the fused
+        prefill+decode step (_mixed_step_all_slots) — live slots never
+        stall, and prompt K/V writes land directly in the big caches at the
+        admission slots (no transient caches, no placement pass).
 
+        Compile surface: the mixed step always sees an
+        (A_bucket, decode_chunk*mixed_npt, H) embed slice, so only the
+        kv_limit ladder (512-quantized) keys recompiles; the embed pass is
+        keyed on the processor's existing token buckets."""
+        a = self._a_bucket
+        kb, t = batch.input_ids.shape
+        c = self.decode_chunk * self.mixed_npt
+        t_pad = -(-t // c) * c
+
+        input_ids = np.full((a, t_pad), self.processor.pad_token_id, np.int32)
+        input_ids[:kb, :t] = batch.input_ids
         embeds = self._embed_jit(
             self.params, self.cfg,
             jnp.asarray(input_ids),
@@ -670,55 +812,73 @@ class ServeEngine:
             jnp.asarray(batch.scatter_seq),
             jnp.asarray(batch.scatter_tok),
         )
-        pos = jnp.asarray(positions)
-        seq_dev = jnp.asarray(seq_lens)
-        small = kv_cache.allocate(self.cfg.llm, bp, t_cap, self.cache_dtype)
-        # Reserve the slots so _free_slots keeps them out of further
-        # admissions; live_host stays False until placement.
-        for req, slot in zip(reqs, slots):
+        seq_lens = np.zeros((a,), np.int32)  # 0 for pad rows: no capture
+        adm_slots = np.zeros((a,), np.int32)
+        # Pad/rejected rows write OUT OF BOUNDS (distinct rows so scatter
+        # indices stay unique) and drop.
+        adm_write_rows = np.arange(
+            self.max_batch_size, self.max_batch_size + a, dtype=np.int32
+        )
+        temp = np.zeros((a,), np.float32)
+        topp = np.ones((a,), np.float32)
+        for req, slot, row in zip(reqs, slots, keep_rows):
+            seq_lens[row] = req.prompt_tokens
+            adm_slots[row] = slot
+            adm_write_rows[row] = slot
+            temp[row] = req.params.temperature
+            topp[row] = req.params.top_p
+            # Reserve the slot so _free_slots keeps it out of further
+            # admissions; live_host stays False until the first token.
             self.slots[slot] = req
-        self._pending_chunked = {
+        self.rng, key = jax.random.split(self.rng)
+        hdim = embeds.shape[-1]
+        self._pending_mixed = {
             "reqs": reqs, "slots": slots, "keep_rows": keep_rows,
-            "embeds": embeds, "pos": pos, "seq_dev": seq_dev,
-            "small": small, "hiddens": [], "o": 0,
-            "t_pad": t_pad, "t_cap": t_cap, "kv_step": kv_step, "bp": bp,
-            "inv_ids": inv_ids, "slot_mask": slot_mask,
-            "temp": temp, "topp": topp, "key": key,
+            "embeds": embeds, "o": 0, "t_pad": t_pad,
+            "adm_slots": jnp.asarray(adm_slots),
+            "adm_write_rows": jnp.asarray(adm_write_rows),
+            "seq_dev": jnp.asarray(seq_lens),
+            "temp": jnp.asarray(temp), "topp": jnp.asarray(topp),
+            "key": key,
+            "last_hidden": jnp.zeros((a, hdim), jnp.float32),
         }
 
-    def _advance_chunked_admission(self) -> None:
-        """Run ONE prompt chunk of the pending long admission; on the final
-        chunk, sample first tokens, place K/V into the big caches, and hand
-        the requests to the decode loop."""
-        st = self._pending_chunked
-        c = self.prefill_chunk
-        o, bp = st["o"], st["bp"]
-        kv_limit = min(st["t_cap"], -(-(o + c) // st["kv_step"]) * st["kv_step"])
-        write_slots = jnp.tile(
-            jnp.arange(o, o + c, dtype=jnp.int32)[None], (bp, 1)
-        )
-        hidden, st["small"] = self._chunk_jit(
-            self.params, self.cfg, self.attn_impl, kv_limit,
-            st["small"], st["embeds"][:, o:o + c], st["pos"][:, o:o + c],
-            write_slots, st["seq_dev"], mesh=self.mesh,
-        )
-        st["hiddens"].append(hidden)
-        st["o"] = o + c
-        if st["o"] < st["t_pad"]:
-            return
-        full_hidden = jnp.concatenate(st["hiddens"], axis=1)
-        first = self._sample_slots_jit(
-            self.params, self.cfg, full_hidden, st["seq_dev"],
-            jnp.asarray(st["temp"]), jnp.asarray(st["topp"]), st["key"],
+    def _mixed_round(self) -> None:
+        """One fused serving round: all decode slots advance decode_chunk
+        steps AND the pending admission consumes decode_chunk*mixed_npt
+        prompt tokens — a single jit'd executable, so admission never
+        blocks decode (VERDICT r1 item 1)."""
+        st = self._pending_mixed
+        c = self.decode_chunk * self.mixed_npt
+        o = st["o"]
+        cache_len = self.caches[0][0].shape[2]
+        kv_limit = min(cache_len, -(-min(o + c, st["t_pad"]) // 512) * 512)
+        emb_slice = self._slice_jit(st["embeds"], jnp.int32(o), c=c)
+        eos_list = list(self.eos_token_ids) or [-1]
+        self.rng, key = jax.random.split(self.rng)
+        active = jnp.asarray(self.live_host)
+        (
+            self.caches, self.tokens, self.cur_lens, live, self.budget,
+            st["last_hidden"], emitted,
+        ) = self._mixed_jit(
+            self.params, self.cfg, self.attn_impl, self.decode_chunk,
+            self.mixed_npt, kv_limit,
+            self.caches, self.tokens, self.cur_lens, active,
+            self.temperature, self.top_p,
+            jnp.asarray(eos_list, jnp.int32), self.budget,
+            st["adm_slots"], st["adm_write_rows"], emb_slice, jnp.int32(o),
+            st["seq_dev"], st["last_hidden"], key,
             mesh=self.mesh,
         )
-        t_place = min(st["t_pad"], self.max_model_len)
-        self.caches = self._place_jit(
-            self.caches, st["small"],
-            jnp.asarray(st["inv_ids"]), jnp.asarray(st["slot_mask"]),
-            t_place,
+        st["o"] = o + c
+        self._process_emitted(np.asarray(emitted), np.asarray(live))
+        if st["o"] < st["t_pad"]:
+            return
+        first = self._sample_first_jit(
+            self.params, self.cfg, st["last_hidden"], st["temp"], st["topp"],
+            st["key"], mesh=self.mesh,
         )
-        self._pending_chunked = None
+        self._pending_mixed = None
         self._finalize_admission(st["reqs"], st["slots"], st["keep_rows"],
                                  first)
 
@@ -751,8 +911,10 @@ class ServeEngine:
             jnp.asarray(eos_list, jnp.int32), self.budget, key,
             mesh=self.mesh,
         )
-        emitted_host = np.asarray(emitted)
-        live_host = np.asarray(live)
+        self._process_emitted(np.asarray(emitted), np.asarray(live))
+
+    def _process_emitted(self, emitted_host: np.ndarray,
+                         live_host: np.ndarray) -> None:
         for slot, req in enumerate(self.slots):
             if req is None or not self.live_host[slot]:
                 continue
@@ -776,16 +938,15 @@ class ServeEngine:
     def _loop(self) -> None:
         while not self._stop.is_set():
             try:
-                if self._pending_chunked is not None:
-                    # One prompt chunk of the in-flight long admission, then
-                    # fall through to a decode round — live slots keep
-                    # streaming while the long prompt prefills.
-                    self._advance_chunked_admission()
-                else:
+                if self._pending_mixed is None:
                     self._admit()
-                if self.live_host.any():
+                if self._pending_mixed is not None:
+                    # Fused round: decode slots advance AND the admission
+                    # consumes its next prompt slice — one device call.
+                    self._mixed_round()
+                elif self.live_host.any():
                     self._decode_round()
-                elif self._pending_chunked is None:
+                else:
                     self._wake.wait(timeout=0.05)
                     self._wake.clear()
             except Exception as err:  # engine must survive a bad step:
@@ -795,7 +956,7 @@ class ServeEngine:
                 import traceback
 
                 traceback.print_exc()
-                self._pending_chunked = None
+                self._pending_mixed = None
                 for slot, req in enumerate(self.slots):
                     if req is not None:
                         req.error = f"engine step failed: {err}"

@@ -397,3 +397,51 @@ def test_stop_during_chunked_admission(engine_setup):
     time.sleep(0.2)
     eng.stop()
     assert eng._thread is None  # joined cleanly
+
+
+def test_mixed_admission_while_decoding_token_exact(engine_setup):
+    """Admissions that arrive while slots are decoding route through the
+    fused mixed prefill+decode step (no monolithic stall) and must be
+    token-exact vs the batch engine, and must not perturb the in-flight
+    request's tokens."""
+    import time
+
+    cfg, params, proc = engine_setup
+    from chatts_tpu.core.config import GenerationConfig
+    from chatts_tpu.runtime.engine import InferenceEngine
+
+    batch_engine = InferenceEngine(params, cfg, cache_dtype=jnp.float32,
+                                   attn_impl="xla")
+
+    def expected(prompt, ts, n):
+        return batch_engine.generate(
+            proc([prompt], ts), GenerationConfig(max_new_tokens=n, greedy=True)
+        ).token_ids[0]
+
+    p1, t1 = "first long runner <ts><ts/> keeps decoding", [np.arange(12.0)]
+    p2, t2 = "second arrives <ts><ts/> mid decode", [np.sin(np.arange(8.0))]
+    p3, t3 = "third also <ts><ts/> arrives", [np.arange(8.0) * 0.5]
+
+    with make_engine(engine_setup) as eng:
+        r1 = Request(p1, t1, SamplingParams(max_tokens=40, temperature=0.0))
+        eng.submit(r1)
+        deadline = time.time() + 60
+        while not r1.output_tokens:  # wait until r1 is live and decoding
+            assert time.time() < deadline
+            time.sleep(0.005)
+        r2 = Request(p2, t2, SamplingParams(max_tokens=6, temperature=0.0))
+        r3 = Request(p3, t3, SamplingParams(max_tokens=6, temperature=0.0))
+        eng.submit(r2)
+        eng.submit(r3)
+        saw_mixed = False
+        while any(r.finished_s is None and r.error is None
+                  for r in (r1, r2, r3)):
+            saw_mixed = saw_mixed or eng._pending_mixed is not None
+            assert time.time() < deadline, "requests did not finish"
+            time.sleep(0.002)
+    for r in (r1, r2, r3):
+        assert r.error is None, r.error
+    assert saw_mixed, "admission did not take the mixed path"
+    assert r1.output_tokens == expected(p1, t1, 40)
+    assert r2.output_tokens == expected(p2, t2, 6)
+    assert r3.output_tokens == expected(p3, t3, 6)
