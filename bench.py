@@ -1,29 +1,39 @@
-"""Benchmark: ChatTS-TPU decode throughput on the real chip.
+"""Benchmark: ChatTS-8B-shape serving throughput on ONE real TPU chip.
 
-Configuration under test: fused qkv/gate_up projections, int8 weight-only
-quantization (per-output-channel), ragged Pallas decode attention, on-device
-chunked decode.
+Headline configuration (the north star's serving shape, VERDICT r1 item 2):
+Qwen2.5-7B-class backbone (hidden 3584, 28 layers, 28 heads / 4 KV heads,
+intermediate 18944, vocab 152064) + 5-layer TS encoder — random weights in
+the int4 serving layout (nibble-packed, group-128 scales, Pallas
+native-ingest matmul), int8 KV cache, continuous-batching ServeEngine at
+concurrency 32 with the fused mixed prefill+decode step (admissions never
+stall decode).
+
+Workload: closed-loop saturated load — 32 requests in flight at all times,
+each with two sp-encoded series (256 + 512 points, patch 16), ~512-token
+prompts, 128 greedy tokens; finished requests are immediately replaced, so
+admission (mixed path) runs continuously against decode.  Metrics:
+  - aggregate decode tokens/sec/chip over the saturated window (admission
+    overhead INCLUDED — this is end-to-end serving throughput)
+  - p50 TTFT of requests admitted DURING the window (continuous-batching
+    TTFT: a request arriving at a busy engine prefills through the mixed
+    step while decode keeps running)
 
 Prints ONE JSON line on stdout:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-Details go to stderr.
-
-Workload (stable across rounds so numbers are comparable): a ChatTS-2B-proxy
-(Qwen2-shaped random bf16 weights: hidden 2048, 24 layers, 16 heads / 4 kv
-heads, inter 11008, vocab 32k), each request carrying two time series
-(256 + 512 points, sp-encoded, patch 16), ~512-token prompts, 128 greedy
-decode steps.  Primary metric: decode tokens/sec/chip at serving concurrency
-32 (measured TPOT 6.9 ms; concurrency 64 pushes ~6.2k tok/s at 10.3 ms TPOT).
-TTFT is measured at admission-burst size 8 — in continuous batching a request
-prefills with its arrival burst, not with the whole decode batch.
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+vs_baseline compares against round 1's measured 8B-shape c32 decode rate
+(2,230 tok/s/chip, int8 weights, BENCHMARKS.md r1) — the same model shape,
+so the ratio reflects real progress.  Details go to stderr.
 """
 from __future__ import annotations
 
 import json
 import sys
+import threading
 import time
 
 import numpy as np
+
+R1_8B_C32_TOKS = 2230.0  # round-1 8B-shape c32 decode tok/s (BENCHMARKS.md)
 
 
 def log(*a):
@@ -36,34 +46,25 @@ def main():
 
     from chatts_tpu.core.config import (
         ChatTSConfig,
-        GenerationConfig,
         QwenConfig,
         TSEncoderConfig,
     )
-    from chatts_tpu.models import chatts
+    from chatts_tpu.models import quantize
     from chatts_tpu.processor.processor import ChatTSProcessor
-    from chatts_tpu.runtime.engine import InferenceEngine
+    from chatts_tpu.serve.scheduler import Request, SamplingParams, ServeEngine
 
     log(f"devices: {jax.devices()}")
 
-    vocab = 32768
+    vocab = 152064
     cfg = ChatTSConfig(
         llm=QwenConfig(
-            vocab_size=vocab,
-            hidden_size=2048,
-            intermediate_size=11008,
-            num_hidden_layers=24,
-            num_attention_heads=16,
-            num_key_value_heads=4,
-            head_dim=128,
-            rope_theta=1e6,
-            attention_bias=True,
-            dtype="bfloat16",
+            vocab_size=vocab, hidden_size=3584, intermediate_size=18944,
+            num_hidden_layers=28, num_attention_heads=28,
+            num_key_value_heads=4, head_dim=128, rope_theta=1e6,
+            attention_bias=True, dtype="bfloat16",
         ),
-        ts=TSEncoderConfig(
-            patch_size=16, num_layers=3, hidden_size=2048,
-            max_sequence_length=4096,
-        ),
+        ts=TSEncoderConfig(patch_size=16, num_layers=5, hidden_size=3584,
+                           max_sequence_length=4096),
         ts_token_start_index=vocab - 10,
     )
 
@@ -75,118 +76,113 @@ def main():
             return [10 + (hash(w) % (vocab - 100)) for w in text.split()]
 
     t0 = time.perf_counter()
-    params = chatts.init_params(cfg, jax.random.PRNGKey(0))
+    params = quantize.init_quantized_params(cfg, jax.random.PRNGKey(0),
+                                            fused=True, bits=4)
     params = jax.block_until_ready(params)
-    log(f"init params: {time.perf_counter() - t0:.1f}s")
-
-    # Production decode config: fused qkv/gate_up + int8 weight-only quant
-    # (halves the HBM-bound decode floor) + ragged decode attention.
-    from chatts_tpu.models import quantize
-
-    t0 = time.perf_counter()
-    qparams = jax.block_until_ready(
-        quantize.quantize_params(chatts.maybe_fuse(params))
-    )
-    log(f"fuse+quantize int8: {time.perf_counter() - t0:.1f}s")
-    del params
+    log(f"init 8B int4 params: {time.perf_counter() - t0:.1f}s, "
+        f"{quantize.param_bytes(params) / 1e9:.2f} GB on chip")
 
     proc = ChatTSProcessor(_Tok(), cfg)
-    # int8 KV: at serving concurrency the dense decode path fuses the
-    # dequant into the attention read, so halving KV bytes is a latency win
-    # (+6% at b32) on top of the capacity win.
-    engine = InferenceEngine(qparams, cfg, fuse=False, decode_chunk=127,
-                             cache_dtype=jnp.int8)
+    concurrency = 32
+    engine = ServeEngine(
+        params, cfg, proc,
+        max_batch_size=concurrency,
+        max_model_len=1024,
+        cache_dtype=jnp.int8,
+        decode_chunk=16,
+        fuse=False,
+    )
 
     rng = np.random.default_rng(0)
-    decode_concurrency = 32
-    admission_burst = 8
     filler = " ".join(f"word{i}" for i in range(400))
+    prompt = (
+        f"system: you are a helpful assistant. user: here are two metrics "
+        f"<ts><ts/> and <ts><ts/>. {filler} analyze their local changes."
+    )
 
-    def make_batch(n):
-        prompts, series = [], []
-        for _ in range(n):
-            prompts.append(
-                f"system: you are a helpful assistant. user: here are two "
-                f"metrics <ts><ts/> and <ts><ts/>. {filler} analyze their "
-                f"local changes."
-            )
-            series.append(rng.normal(0, 50, 256).cumsum())
-            series.append(rng.normal(0, 5, 512).cumsum())
-        return prompts, series
+    def mkreq():
+        series = [rng.normal(0, 50, 256).cumsum(),
+                  rng.normal(0, 5, 512).cumsum()]
+        return Request(prompt, series,
+                       SamplingParams(max_tokens=128, temperature=0.0))
 
-    prompts, series = make_batch(decode_concurrency)
-    batch = proc(prompts, series)
-    log(f"batch: input_ids {batch.input_ids.shape}, ts tokens {batch.num_ts_tokens}")
-
-    gen = GenerationConfig(max_new_tokens=128, greedy=True)
-
-    # Warmup (compile prefill + decode).
     t0 = time.perf_counter()
-    engine.generate(batch, gen)
-    log(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
+    engine.warmup(prefill_buckets=(512,), series_per_request=2,
+                  series_len=512)
+    log(f"warmup (monolithic + mixed shapes): {time.perf_counter() - t0:.1f}s")
 
-    # Timed decode-throughput runs at serving concurrency.
-    runs = 3
-    decode_tps, totals = [], []
-    for i in range(runs):
-        r = engine.generate(batch, gen)
-        new_tokens = r.total_new_tokens
-        decode_time = r.total_s - r.ttft_s
-        tps = (
-            (new_tokens - decode_concurrency) / decode_time
-            if decode_time > 0 else 0.0
-        )
-        decode_tps.append(tps)
-        totals.append(r.total_s)
-        log(
-            f"run {i}: {new_tokens} tokens, ttft {r.ttft_s*1e3:.0f}ms, "
-            f"tpot {r.tpot_s*1e3:.2f}ms, decode {tps:.1f} tok/s"
-        )
+    # Closed-loop saturated load: keep `concurrency` requests in flight.
+    stop = threading.Event()
+    finished: list = []
+    admitted_during_window: list = []
+    lock = threading.Lock()
+    window_open = threading.Event()
 
-    # TTFT at admission-burst size (continuous batching prefills a request
-    # with its arrival burst, not the full decode batch).
-    a_prompts, a_series = make_batch(admission_burst)
-    a_batch = proc(a_prompts, a_series)
-    ttft_gen = GenerationConfig(max_new_tokens=2, greedy=True)
-    engine.generate(a_batch, ttft_gen)  # compile
-    ttfts = []
-    for _ in range(3):
-        ttfts.append(engine.generate(a_batch, ttft_gen).ttft_s)
-    log(f"admission-burst({admission_burst}) ttfts: "
-        + ", ".join(f"{t*1e3:.0f}ms" for t in ttfts))
+    def loadgen():
+        inflight = []
+        for _ in range(concurrency):
+            r = mkreq()
+            engine.submit(r)
+            inflight.append(r)
+        while not stop.is_set():
+            for i, r in enumerate(inflight):
+                if r.finished_s is not None or r.error is not None:
+                    nr = mkreq()
+                    engine.submit(nr)
+                    inflight[i] = nr
+                    with lock:
+                        finished.append(r)
+                        if window_open.is_set():
+                            admitted_during_window.append(nr)
+            time.sleep(0.002)
 
-    # TS-encode throughput (processor host path), secondary metric.
-    t0 = time.perf_counter()
-    n_enc = 0
-    while time.perf_counter() - t0 < 2.0:
-        proc(prompts, series)
-        n_enc += len(series)
-    enc_sps = n_enc / (time.perf_counter() - t0)
-    log(f"ts-encode throughput (host): {enc_sps:.0f} series/sec")
+    gen = threading.Thread(target=loadgen, daemon=True)
+    gen.start()
 
-    value = float(np.median(decode_tps))
-    p50_ttft_ms = float(np.median(ttfts) * 1e3)
-    log(f"p50 TTFT: {p50_ttft_ms:.0f} ms")
+    # Let the loop reach steady state (first cohort admitted + replacements
+    # flowing), then measure a fixed window.
+    time.sleep(25)
+    with lock:
+        finished.clear()
+    base_tokens = engine.total_output_tokens
+    window_open.set()
+    w0 = time.perf_counter()
+    window_s = 60.0
+    time.sleep(window_s)
+    elapsed = time.perf_counter() - w0
+    tokens_out = engine.total_output_tokens - base_tokens
+    window_open.clear()
+    stop.set()
+    gen.join(timeout=10)
 
-    # No absolute published baseline exists (BASELINE.json published: {});
-    # vs_baseline is the ratio to the first recorded round, default 1.0.
-    baseline = None
-    try:
-        with open("BENCH_r1.json") as f:
-            baseline = json.load(f).get("value")
-    except Exception:
-        pass
-    vs_baseline = value / baseline if baseline else 1.0
+    agg_tps = tokens_out / elapsed
+    with lock:
+        ttfts = [r.ttft_s for r in admitted_during_window
+                 if r.ttft_s is not None]
+        n_done = len([r for r in finished if r.error is None])
+        n_err = len([r for r in finished if r.error is not None])
+    p50_ttft_ms = float(np.median(ttfts) * 1e3) if ttfts else float("nan")
+    p90_ttft_ms = (float(np.percentile(ttfts, 90) * 1e3) if ttfts
+                   else float("nan"))
+    log(f"window {elapsed:.1f}s: {tokens_out} tokens -> {agg_tps:.0f} tok/s "
+        f"aggregate; {n_done} requests completed ({n_err} errors); "
+        f"{len(ttfts)} TTFT samples, p50 {p50_ttft_ms:.0f} ms, "
+        f"p90 {p90_ttft_ms:.0f} ms")
+    stats = engine.stats()
+    log(f"engine stats: {stats}")
+    engine.stop()
 
     print(
         json.dumps(
             {
-                "metric": "decode_tokens_per_sec_per_chip_chatts2b_int8_b32",
-                "value": round(value, 2),
+                "metric": "serving_tokens_per_sec_per_chip_chatts8b_int4_c32",
+                "value": round(agg_tps, 1),
                 "unit": "tokens/s/chip",
-                "vs_baseline": round(vs_baseline, 3),
+                "vs_baseline": round(agg_tps / R1_8B_C32_TOKS, 3),
                 "p50_ttft_ms": round(p50_ttft_ms, 1),
-                "ts_encode_series_per_sec": round(enc_sps, 1),
+                "p90_ttft_ms": round(p90_ttft_ms, 1),
+                "requests_completed_per_min": round(n_done * 60 / elapsed, 1),
+                "baseline_note": "vs round-1 8B-shape c32 decode 2230 tok/s (int8)",
             }
         )
     )

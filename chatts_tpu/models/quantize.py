@@ -141,21 +141,29 @@ def init_quantized_params(cfg, key, fused: bool = True, bits: int = 8):
                       lcfg.head_dim, lcfg.hidden_size)
     keys = iter(jax.random.split(key, lcfg.num_hidden_layers * 8 + 4))
 
+    def rand_int8(k, shape):
+        # 4 int8 per uint32 of entropy: ~4x cheaper than randint (which
+        # draws 32 bits per element) — init of an 8B-scale tree drops from
+        # minutes to tens of seconds on the device.
+        n = int(np.prod(shape))
+        bits32 = jax.random.bits(k, ((n + 3) // 4,), jnp.uint32)
+        i8 = jax.lax.bitcast_convert_type(bits32, jnp.int8).reshape(-1)
+        return i8[:n].reshape(shape)
+
     def qdense(fan_in, fan_out, bias):
         k = next(keys)
         if bits == 4 and i4.supported(fan_in, fan_out):
             out = {
-                "kernel_q4": jax.random.randint(
-                    k, (fan_in // 2, fan_out), -128, 128, jnp.int32
-                ).astype(jnp.int8),
+                "kernel_q4": rand_int8(k, (fan_in // 2, fan_out)),
                 "scales4": jnp.full(
                     (fan_in // i4.DEFAULT_GROUP, fan_out),
                     1.0 / (7 * np.sqrt(fan_in)), jnp.float32,
                 ),
             }
         else:
+            q = jnp.maximum(rand_int8(k, (fan_in, fan_out)), jnp.int8(-127))
             out = {
-                "kernel_q": jax.random.randint(k, (fan_in, fan_out), -127, 128, jnp.int8),
+                "kernel_q": q,
                 "scales": jnp.full((fan_out,), 1.0 / (127 * np.sqrt(fan_in)), jnp.float32),
             }
         if bias:
