@@ -42,6 +42,7 @@ def supported(q: jnp.ndarray, k: jnp.ndarray) -> bool:
 
 
 def _flash_kernel(
+    lim_ref,  # scalar prefetch: (B, nQ) int32 — last live k-block per q block
     q_pos_ref,  # (B, BQ) int32 — all batch rows of this q block
     kv_pos_ref,  # (B, BK) int32
     kv_valid_ref,  # (B, BK) int32
@@ -57,6 +58,7 @@ def _flash_kernel(
     num_k_blocks: int,
 ):
     bi = pl.program_id(0)
+    qi = pl.program_id(2)
     j = pl.program_id(3)
 
     @pl.when(j == 0)
@@ -65,40 +67,45 @@ def _flash_kernel(
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    q = q_ref[0, 0]  # (BQ, D)
-    k = k_ref[0, 0]  # (BK, D)
-    v = v_ref[0, 0]  # (BK, D)
+    # Causal block skipping: k blocks entirely in this q block's future are
+    # masked to zero contribution, so skip their compute (the index maps
+    # also clamp their DMAs to a block already resident — no HBM traffic).
+    @pl.when(j <= lim_ref[bi, qi])
+    def _compute():
+        q = q_ref[0, 0]  # (BQ, D)
+        k = k_ref[0, 0]  # (BK, D)
+        v = v_ref[0, 0]  # (BK, D)
 
-    s = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (BQ, BK)
-    s = s * scale
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, BK)
+        s = s * scale
 
-    q_pos = q_pos_ref[bi]  # (BQ,)
-    kv_pos = kv_pos_ref[bi]  # (BK,)
-    kv_ok = kv_valid_ref[bi]  # (BK,)
-    mask = (kv_ok[None, :] > 0) & (kv_pos[None, :] <= q_pos[:, None])
-    s = jnp.where(mask, s, _NEG_INF)
+        q_pos = q_pos_ref[bi]  # (BQ,)
+        kv_pos = kv_pos_ref[bi]  # (BK,)
+        kv_ok = kv_valid_ref[bi]  # (BK,)
+        mask = (kv_ok[None, :] > 0) & (kv_pos[None, :] <= q_pos[:, None])
+        s = jnp.where(mask, s, _NEG_INF)
 
-    m_prev = m_scratch[:, :1]  # (BQ, 1)
-    l_prev = l_scratch[:, :1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (BQ, 1)
-    m_new = jnp.maximum(m_prev, m_cur)
+        m_prev = m_scratch[:, :1]  # (BQ, 1)
+        l_prev = l_scratch[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)  # (BQ, 1)
+        m_new = jnp.maximum(m_prev, m_cur)
 
-    p = jnp.exp(s - m_new)
-    p = jnp.where(mask, p, 0.0)  # kill fully-masked rows' spurious 1.0s
-    alpha = jnp.exp(m_prev - m_new)  # (BQ, 1)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(mask, p, 0.0)  # kill fully-masked rows' spurious 1.0s
+        alpha = jnp.exp(m_prev - m_new)  # (BQ, 1)
 
-    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(
-        p.astype(v.dtype), v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
-    l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
+        l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
 
     @pl.when(j == num_k_blocks - 1)
     def _finalize():
@@ -138,43 +145,59 @@ def flash_attention(
     n_k = s_len // block_k
     grid = (b, h, n_q, n_k)
 
+    # Causal block-skip limits: lim[bi, qi] = last k block with any position
+    # <= this q block's max position.  Blocks past the limit contribute
+    # nothing (fully masked), so the kernel skips their compute and the k/v
+    # index maps clamp to an already-resident block (no re-DMA) — for
+    # standard causal prefill this halves both MXU work and K/V traffic.
+    kv_min = kv_positions.astype(jnp.int32).reshape(b, n_k, block_k).min(axis=2)
+    qmax = q_positions.astype(jnp.int32).reshape(b, n_q, block_q).max(axis=2)
+    live = kv_min[:, None, :] <= qmax[:, :, None]  # (B, nQ, nK)
+    lim = jnp.max(
+        jnp.where(live, jnp.arange(n_k, dtype=jnp.int32)[None, None, :], 0),
+        axis=-1,
+    )  # (B, nQ)
+
     kernel = functools.partial(
         _flash_kernel, scale=float(scale), num_k_blocks=n_k
     )
 
-    out = pl.pallas_call(
-        kernel,
+    def kv_index(bi, hi, qi, ki, lim_ref, g=groups):
+        return (bi, hi // g, jnp.minimum(ki, lim_ref[bi, qi]), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             # Mask arrays ride along with all B rows per block (Pallas TPU
             # requires the last-two block dims aligned or full); the kernel
             # row-indexes by program_id(0).
-            pl.BlockSpec((b, block_q), lambda bi, hi, qi, ki: (0, qi)),
-            pl.BlockSpec((b, block_k), lambda bi, hi, qi, ki: (0, ki)),
-            pl.BlockSpec((b, block_k), lambda bi, hi, qi, ki: (0, ki)),
+            pl.BlockSpec((b, block_q), lambda bi, hi, qi, ki, lim: (0, qi)),
+            pl.BlockSpec((b, block_k), lambda bi, hi, qi, ki, lim: (0, ki)),
+            pl.BlockSpec((b, block_k), lambda bi, hi, qi, ki, lim: (0, ki)),
             pl.BlockSpec(
-                (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
+                (1, 1, block_q, d),
+                lambda bi, hi, qi, ki, lim: (bi, hi, qi, 0),
             ),
-            pl.BlockSpec(
-                (1, 1, block_k, d),
-                lambda bi, hi, qi, ki, g=groups: (bi, hi // g, ki, 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, d),
-                lambda bi, hi, qi, ki, g=groups: (bi, hi // g, ki, 0),
-            ),
+            pl.BlockSpec((1, 1, block_k, d), kv_index),
+            pl.BlockSpec((1, 1, block_k, d), kv_index),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
+            (1, 1, block_q, d), lambda bi, hi, qi, ki, lim: (bi, hi, qi, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
         interpret=interpret,
     )(
+        lim,
         q_positions.astype(jnp.int32),
         kv_positions.astype(jnp.int32),
         kv_valid.astype(jnp.int32),
