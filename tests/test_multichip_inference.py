@@ -98,3 +98,49 @@ def test_tp_sharded_serving_engine(setup):
         long_out = eng.generate_sync(long_prompt, [np.arange(16.0)], sp)
     assert got == ref
     assert len(long_out.output_tokens) == 6
+
+
+def test_tp_sharded_mixed_admission_token_exact(setup):
+    """The fused mixed prefill+decode step under a TP mesh: an admission
+    arriving while a sharded engine decodes must stay token-exact vs the
+    single-device batch engine (exercises forward_mixed's combined cache
+    scatter and admission-row gather under GSPMD)."""
+    import time
+
+    from chatts_tpu.serve.scheduler import Request, SamplingParams, ServeEngine
+
+    cfg, params, proc = setup
+    gen = GenerationConfig(max_new_tokens=30, greedy=True)
+    be = InferenceEngine(params, cfg, cache_dtype=jnp.float32,
+                         attn_impl="xla", fuse=False)
+
+    p1, t1 = "runner <ts><ts/> decodes long", [np.arange(12.0)]
+    p2, t2 = "joins <ts><ts/> mid flight", [np.sin(np.arange(8.0))]
+    exp1 = be.generate(proc([p1], t1), gen).token_ids[0]
+    exp2 = be.generate(
+        proc([p2], t2), GenerationConfig(max_new_tokens=5, greedy=True)
+    ).token_ids[0]
+
+    mesh = mesh_lib.create_mesh(dp=1, tp=4, devices=jax.devices()[:4])
+    sharded = sharding.place_params(mesh, cfg, params)
+    with ServeEngine(sharded, cfg, proc, max_batch_size=4, max_model_len=256,
+                     cache_dtype=jnp.float32, attn_impl="xla",
+                     decode_chunk=4, fuse=False) as eng:
+        assert eng.mesh is not None
+        r1 = Request(p1, t1, SamplingParams(max_tokens=30, temperature=0.0))
+        eng.submit(r1)
+        dl = time.time() + 120
+        while not r1.output_tokens:
+            assert time.time() < dl
+            time.sleep(0.005)
+        r2 = Request(p2, t2, SamplingParams(max_tokens=5, temperature=0.0))
+        eng.submit(r2)
+        saw_mixed = False
+        while any(r.finished_s is None and r.error is None for r in (r1, r2)):
+            saw_mixed = saw_mixed or eng._pending_mixed is not None
+            assert time.time() < dl
+            time.sleep(0.002)
+    assert r1.error is None and r2.error is None
+    assert saw_mixed, "admission did not take the mixed path"
+    assert r1.output_tokens == exp1
+    assert r2.output_tokens == exp2
