@@ -75,20 +75,33 @@ def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _dense(x: jnp.ndarray, layer: Dict[str, jnp.ndarray],
-           mesh=None) -> jnp.ndarray:
+           mesh=None, tp_kind: str = "") -> jnp.ndarray:
     if "kernel_q4" in layer:
         # Weight-only int4 (nibble-packed, group scales): XLA cannot fuse
         # the unpack into a dot, so this routes through the Pallas matmul
-        # (ops/int4_matmul.py) on TPU.  Under a TP/DP mesh a bare
-        # pallas_call has no GSPMD partitioning rule, so sharded params
-        # take the dequant+dot fallback (still sharded, still correct);
-        # CPU (tests/virtual mesh) uses the same fallback.
+        # (ops/int4_matmul.py).  Under a (dp, tp) mesh a bare pallas_call
+        # has no GSPMD partitioning rule, so the kernel runs through a
+        # shard_map with the layer's Megatron kind (col: out over tp;
+        # row: in over tp + psum); shapes that don't divide — or CPU
+        # without interpret mode — take the dequant+dot fallback.
         from chatts_tpu.ops import int4_matmul as i4
 
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
-        if mesh is None and jax.default_backend() == "tpu":
+        interp = i4.interpret_enabled()
+        on_tpu = jax.default_backend() == "tpu"
+        in_dim = x2.shape[1]
+        out_dim = layer["kernel_q4"].shape[1]
+        group = in_dim // layer["scales4"].shape[0]
+        if mesh is None and on_tpu:
             y = i4.int4_matmul(x2, layer["kernel_q4"], layer["scales4"])
+            out = y.astype(jnp.float32)
+        elif (mesh is not None and (on_tpu or interp) and tp_kind
+              and i4.supported_tp(mesh, in_dim, out_dim, group, tp_kind)):
+            y = i4.int4_matmul_tp(
+                x2, layer["kernel_q4"], layer["scales4"],
+                mesh=mesh, kind=tp_kind, interpret=interp,
+            )
             out = y.astype(jnp.float32)
         else:
             w = i4.dequantize(layer["kernel_q4"], layer["scales4"], x.dtype)
@@ -136,15 +149,15 @@ def attention_block(
         # packing the reference delegates to vLLM's packed_modules_mapping,
         # chatts_vllm.py:454-459).  Single-device layout: [q | k | v] along
         # the output dim.
-        qkv = _dense(x, p["qkv_proj"], mesh)
+        qkv = _dense(x, p["qkv_proj"], mesh, "col")
         q, k, v = jnp.split(qkv, [h * d, h * d + kvh * d], axis=-1)
         q = q.reshape(b, t, h, d)
         k = k.reshape(b, t, kvh, d)
         v = v.reshape(b, t, kvh, d)
     else:
-        q = _dense(x, p["q_proj"], mesh).reshape(b, t, h, d)
-        k = _dense(x, p["k_proj"], mesh).reshape(b, t, kvh, d)
-        v = _dense(x, p["v_proj"], mesh).reshape(b, t, kvh, d)
+        q = _dense(x, p["q_proj"], mesh, "col").reshape(b, t, h, d)
+        k = _dense(x, p["k_proj"], mesh, "col").reshape(b, t, kvh, d)
+        v = _dense(x, p["v_proj"], mesh, "col").reshape(b, t, kvh, d)
 
     if cfg.qk_norm:
         q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
@@ -297,7 +310,7 @@ def attention_block(
                         scale=d ** -0.5, interpret=interp,
                     )[:, None]
             out = out.reshape(b, t, h * d)
-            return _dense(out, p["o_proj"], mesh), new_cache
+            return _dense(out, p["o_proj"], mesh, "row"), new_cache
         # Fallback: einsum reference over the (B, KVH, S, D) cache view,
         # dequantizing first in int8 mode.
         if int8_attend:
@@ -321,18 +334,18 @@ def attention_block(
         impl=attn_impl,
     )
     out = out.reshape(b, t, h * d)
-    return _dense(out, p["o_proj"], mesh), new_cache
+    return _dense(out, p["o_proj"], mesh, "row"), new_cache
 
 
 def mlp_block(layer_params: Dict[str, Any], x: jnp.ndarray,
               mesh=None) -> jnp.ndarray:
     if "gate_up_proj" in layer_params:
-        gate_up = _dense(x, layer_params["gate_up_proj"], mesh)
+        gate_up = _dense(x, layer_params["gate_up_proj"], mesh, "col")
         gate, up = jnp.split(gate_up, 2, axis=-1)
     else:
-        gate = _dense(x, layer_params["gate_proj"], mesh)
-        up = _dense(x, layer_params["up_proj"], mesh)
-    return _dense(jax.nn.silu(gate) * up, layer_params["down_proj"], mesh)
+        gate = _dense(x, layer_params["gate_proj"], mesh, "col")
+        up = _dense(x, layer_params["up_proj"], mesh, "col")
+    return _dense(jax.nn.silu(gate) * up, layer_params["down_proj"], mesh, "row")
 
 
 def decoder_layer(
@@ -458,7 +471,7 @@ def _mixed_attention(
     p = layer_params
 
     if "qkv_proj" in p:
-        qkv = _dense(x, p["qkv_proj"], mesh)
+        qkv = _dense(x, p["qkv_proj"], mesh, "col")
         q, k, v = jnp.split(qkv, [h * d, h * d + kvh * d], axis=-1)
         q = q.reshape(1, tp, h, d)
         k = k.reshape(1, tp, kvh, d)
@@ -555,7 +568,7 @@ def _mixed_attention(
         [out_dec.reshape(1, b, h * d), out_pro.reshape(1, a * npt, h * d)],
         axis=1,
     )
-    return _dense(out, p["o_proj"], mesh), new_cache
+    return _dense(out, p["o_proj"], mesh, "row"), new_cache
 
 
 def forward_mixed(
@@ -667,7 +680,7 @@ def compute_logits(params: Params, cfg: QwenConfig, hidden: jnp.ndarray,
                    mesh=None) -> jnp.ndarray:
     """hidden (B, T, H) -> logits (B, T, V), float32."""
     if "lm_head_q" in params:
-        return _dense(hidden, params["lm_head_q"], mesh).astype(jnp.float32)
+        return _dense(hidden, params["lm_head_q"], mesh, "col").astype(jnp.float32)
     if cfg.tie_word_embeddings or "lm_head" not in params:
         table = params["embed_tokens"]
         return jnp.dot(

@@ -30,12 +30,20 @@ Layout:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def interpret_enabled() -> bool:
+    """Pallas interpret mode (CHATTS_INT4_INTERPRET=1): lets the virtual CPU
+    mesh exercise the exact TP shard_map path instead of the dequant+dot
+    fallback."""
+    return os.environ.get("CHATTS_INT4_INTERPRET", "") == "1"
 
 # One quantization group per MXU K-tile: group dots stay full-tile.
 DEFAULT_GROUP = 128
@@ -209,3 +217,60 @@ def int4_matmul(
         interpret=interpret,
     )(x, packed, scales3)
     return y[:r] if r_pad > r else y
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel wrapper: a bare pallas_call has no GSPMD partitioning
+# rule, so under a (dp, tp) mesh the matmul runs through shard_map with the
+# Megatron layout — column-parallel (qkv/gate_up/lm_head: out dim over tp,
+# x replicated) or row-parallel (o/down: in dim over tp, psum after).
+# ---------------------------------------------------------------------------
+
+def supported_tp(mesh, in_dim: int, out_dim: int, group: int,
+                 kind: str) -> bool:
+    """Whether per-shard shapes still tile for the kernel."""
+    from chatts_tpu.parallel.mesh import MODEL_AXIS
+
+    tp = mesh.shape.get(MODEL_AXIS, 1)
+    if kind == "col":
+        return out_dim % tp == 0 and supported(in_dim, out_dim // tp, group)
+    if kind == "row":
+        ng = in_dim // group
+        return (in_dim % tp == 0 and ng % tp == 0
+                and supported(in_dim // tp, out_dim, group))
+    return False
+
+
+def int4_matmul_tp(
+    x: jnp.ndarray,  # (R, IN)
+    packed: jnp.ndarray,  # (IN//2, OUT) int8, tp-sharded per `kind`
+    scales: jnp.ndarray,  # (IN//G, OUT) float32
+    *,
+    mesh,
+    kind: str,  # "col" | "row"
+    interpret: bool = False,
+) -> jnp.ndarray:
+    from jax.sharding import PartitionSpec as P
+
+    from chatts_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    if kind == "col":
+        in_specs = (P(None, None), P(None, MODEL_AXIS), P(None, MODEL_AXIS))
+        out_specs = P(None, MODEL_AXIS)
+
+        def fn(xs, ps, ss):
+            return int4_matmul(xs, ps, ss, interpret=interpret)
+    else:
+        in_specs = (P(None, MODEL_AXIS), P(MODEL_AXIS, None),
+                    P(MODEL_AXIS, None))
+        out_specs = P(None, None)
+
+        def fn(xs, ps, ss):
+            y = int4_matmul(xs, ps, ss, interpret=interpret)
+            return jax.lax.psum(y, MODEL_AXIS)
+
+    # check_vma=False: pallas_call declares no varying-mesh-axes metadata.
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )(x, packed, scales)

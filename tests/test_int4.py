@@ -221,3 +221,43 @@ def test_int4_params_place_and_run_under_tp_mesh():
                                    jnp.asarray(pos), attn_impl="xla")
     np.testing.assert_allclose(np.asarray(hidden), np.asarray(ref_hidden),
                                rtol=2e-2, atol=2e-3)
+
+
+def test_int4_tp_shard_map_path_matches(monkeypatch):
+    """With interpret mode on, the TP shard_map kernel path runs on the
+    virtual mesh (col and row kinds, psum included) and matches the
+    single-device dequant reference."""
+    import jax
+
+    from chatts_tpu.parallel import mesh as mesh_lib
+    from chatts_tpu.parallel import sharding
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device mesh")
+    monkeypatch.setenv("CHATTS_INT4_INTERPRET", "1")
+    cfg, params = _tiny()
+    q4 = quantize.quantize_params(params, bits=4)
+    ids = np.arange(8)[None] % 256
+    pos = np.arange(8)[None]
+    ref_hidden, _ = chatts.forward(q4, cfg, jnp.asarray(ids),
+                                   jnp.asarray(pos), attn_impl="xla")
+    mesh = mesh_lib.create_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    sharded = sharding.place_params(mesh, cfg, q4)
+    hidden, _ = chatts.forward(sharded, cfg, jnp.asarray(ids),
+                               jnp.asarray(pos), attn_impl="xla", mesh=mesh)
+    np.testing.assert_allclose(np.asarray(hidden), np.asarray(ref_hidden),
+                               rtol=2e-2, atol=2e-3)
+
+
+def test_int4_tp_supported_kinds():
+    from chatts_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device mesh")
+    mesh = mesh_lib.create_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    assert i4.supported_tp(mesh, 256, 512, 128, "col")
+    assert i4.supported_tp(mesh, 512, 256, 128, "row")
+    # out not divisible by tp*128 -> col unsupported
+    assert not i4.supported_tp(mesh, 256, 128, 128, "col")
+    # in groups not divisible by tp -> row unsupported
+    assert not i4.supported_tp(mesh, 128, 256, 128, "row")
