@@ -47,6 +47,11 @@ def maybe_fuse(params: Params) -> Params:
     layer0 = params["llm"]["layers"][0]
     if "qkv_proj" in layer0["self_attn"]:
         return params
+    if "kernel" not in layer0["self_attn"]["q_proj"]:
+        # Quantized layouts (kernel_q / kernel_q4): fuse before quantizing
+        # (quantize.init_quantized_params(fused=True)) — post-hoc fusion
+        # would have to repack nibbles/scales.
+        return params
     kernel = layer0["self_attn"]["q_proj"]["kernel"]
     sharding = getattr(kernel, "sharding", None)
     if sharding is not None and len(getattr(sharding, "device_set", [1])) > 1:

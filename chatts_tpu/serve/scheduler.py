@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import queue
+import sys
 import threading
 import time
 import uuid
@@ -451,6 +452,7 @@ class ServeEngine:
         # Metrics.
         self.total_requests = 0
         self.total_output_tokens = 0
+        self.mixed_rounds_run = 0
         from chatts_tpu.utils.profiling import MetricsAggregator
 
         self.metrics = MetricsAggregator()
@@ -502,11 +504,13 @@ class ServeEngine:
                 for req in reqs:
                     while req.finished_s is None and req.error is None:
                         if time.time() > deadline:
-                            print(f"[warmup] bucket {bucket} timed out")
+                            print(f"[warmup] bucket {bucket} timed out",
+                                  file=sys.stderr)
                             return
                         time.sleep(0.01)
                     if req.error:
-                        print(f"[warmup] bucket {bucket} failed: {req.error}")
+                        print(f"[warmup] bucket {bucket} failed: {req.error}",
+                              file=sys.stderr)
         if self.mixed_admission:
             self._warmup_mixed(prefill_buckets, series_per_request, series_len)
 
@@ -524,18 +528,43 @@ class ServeEngine:
             return [np.sin(np.arange(float(series_len)))
                     for _ in range(series_per_request)]
 
-        runner = Request(
-            f"runner {holes}", mkseries(),
-            SamplingParams(max_tokens=4096, temperature=0.0),
-        )
-        self.submit(runner)
+        # The runner's (prompt + max_tokens) must pass the max_model_len
+        # admission check for ANY engine capacity — a 4096 budget against a
+        # 1024-cap engine gets rejected and the mixed shapes never compile.
+        # Reserve room for the short runner prompt + its TS tokens.
+        budget = min(4096, self.max_model_len - 64
+                     - 64 * max(1, series_per_request)
+                     - series_per_request * series_len // 8)
+        budget = max(budget, 4 * self.decode_chunk)
         deadline = time.time() + 600
-        while not runner.output_tokens:
-            if time.time() > deadline or runner.error:
-                print("[warmup] mixed runner failed to start")
-                return
-            time.sleep(0.01)
+        runner_box = [None]
+
+        def ensure_runner():
+            """(Re)start the background decoder if it finished or errored —
+            compiles per bucket can outlive one runner's token budget."""
+            r = runner_box[0]
+            if r is not None and r.finished_s is None and r.error is None:
+                return True
+            r = Request(
+                f"runner {holes}", mkseries(),
+                SamplingParams(max_tokens=budget, temperature=0.0),
+            )
+            runner_box[0] = r
+            self.submit(r)
+            while not r.output_tokens:
+                if r.error:
+                    print(f"[warmup] mixed runner rejected: {r.error}",
+                          file=sys.stderr)
+                    return False
+                if time.time() > deadline:
+                    print("[warmup] mixed runner timed out", file=sys.stderr)
+                    return False
+                time.sleep(0.01)
+            return True
+
         for bucket in sorted(prefill_buckets):
+            if not ensure_runner():
+                return
             words = " ".join("warm" for _ in range(max(1, bucket - 64)))
             reqs = [
                 Request(f"{words} {holes}", mkseries(),
@@ -547,12 +576,18 @@ class ServeEngine:
             for req in reqs:
                 while req.finished_s is None and req.error is None:
                     if time.time() > deadline:
-                        print(f"[warmup] mixed bucket {bucket} timed out")
-                        runner.cancel()
+                        print(f"[warmup] mixed bucket {bucket} timed out",
+                              file=sys.stderr)
+                        if runner_box[0] is not None:
+                            runner_box[0].cancel()
                         return
                     time.sleep(0.01)
                 if req.error:
-                    print(f"[warmup] mixed bucket {bucket} failed: {req.error}")
+                    print(f"[warmup] mixed bucket {bucket} failed: "
+                          f"{req.error}", file=sys.stderr)
+        runner = runner_box[0]
+        if runner is None:
+            return
         runner.cancel()
         while runner.finished_s is None and runner.error is None:
             if time.time() > deadline:
@@ -871,6 +906,7 @@ class ServeEngine:
             mesh=self.mesh,
         )
         st["o"] = o + c
+        self.mixed_rounds_run += 1
         self._process_emitted(np.asarray(emitted), np.asarray(live))
         if st["o"] < st["t_pad"]:
             return

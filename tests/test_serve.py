@@ -445,3 +445,17 @@ def test_mixed_admission_while_decoding_token_exact(engine_setup):
     assert r1.output_tokens == expected(p1, t1, 40)
     assert r2.output_tokens == expected(p2, t2, 6)
     assert r3.output_tokens == expected(p3, t3, 6)
+
+
+def test_warmup_compiles_mixed_step_under_small_cap(engine_setup):
+    """Warmup must exercise the fused mixed prefill+decode step even when
+    max_model_len is small: the warmup runner's token budget has to fit the
+    (prompt + max_tokens) admission check.  Regression for the r2 bench,
+    where a 4096-token runner was rejected by a 1024-cap engine and the
+    mixed shapes compiled (30-60 s each) inside the measurement window."""
+    with make_engine(engine_setup, max_model_len=256) as eng:
+        eng.warmup(prefill_buckets=(64,), series_per_request=1,
+                   series_len=16)
+        assert eng.mixed_rounds_run > 0, (
+            "warmup never ran the mixed prefill+decode step"
+        )
