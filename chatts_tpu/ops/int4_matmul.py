@@ -210,12 +210,14 @@ def int4_matmul(
     ng = scales.shape[0]
     group = in_dim // ng
 
-    # Row blocking: small R (decode) runs as one padded block so the MXU
-    # isn't fed dead rows; large R (prefill) tiles at 256.
-    if r <= 256:
+    # Row blocking: small-to-medium R (decode and MIXED prefill+decode rows,
+    # up to 512) runs as ONE row block — a second row block would stream
+    # every weight byte twice, doubling the HBM-bound step time.  Larger R
+    # (prefill) tiles at 512.
+    if r <= 512:
         bb = -(-r // 16) * 16
     else:
-        bb = 256
+        bb = 512
     kb, nb = _plan_tiles(in_dim, out_dim, group, bb)
     if kb == 0 or nb == 0:
         raise ValueError(

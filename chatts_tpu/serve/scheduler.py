@@ -707,7 +707,17 @@ class ServeEngine:
         # compiled shape, staggered TTFTs); overflow goes back to the queue
         # and admits next round — the first sub-batch is already decoding
         # while the next one prefills.
-        use_mixed = self.mixed_admission and (
+        # The mixed step writes prompt K/V as npt-token span windows; every
+        # span start is npt-aligned below ceil(t_pad/c)*c, so that rounded
+        # bound must fit the cache or a tail window would fall out of
+        # bounds (dropped whole -> lost prompt K/V).  Holds for every
+        # 512-quantized capacity when c | 512; odd configs fall back to
+        # monolithic admission.
+        c_round = self.decode_chunk * self.mixed_npt
+        t_pad = batch.input_ids.shape[1]
+        spans_fit = (-(-t_pad // c_round) * c_round
+                     <= self.caches[0][0].shape[2])
+        use_mixed = self.mixed_admission and spans_fit and (
             self.live_host.any()
             or (self.prefill_chunk is not None
                 and batch.input_ids.shape[1] > self.prefill_chunk)
