@@ -40,7 +40,47 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+_PROBE = (
+    "import time, jax, jax.numpy as jnp, numpy as np\n"
+    "x = jnp.ones((512, 512), jnp.bfloat16)\n"
+    "t0 = time.time()\n"
+    "v = float(np.asarray((x @ x)[0, 0]))\n"
+    "print('probe_ok', round(time.time() - t0, 1))\n"
+)
+
+
+def wait_for_healthy_chip(max_wait_s: float = 1800.0) -> None:
+    """The v5e behind the axon tunnel intermittently wedges (simple matmuls
+    hang; recovers in ~20-30 min).  Probe it in a SUBPROCESS with a timeout
+    before initializing our own client, so a wedged chip delays the bench
+    instead of hanging it or recording garbage numbers."""
+    import subprocess
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE],
+                capture_output=True, text=True, timeout=240,
+            )
+            if r.returncode == 0 and "probe_ok" in r.stdout:
+                log(f"chip healthy (probe attempt {attempt}): "
+                    f"{r.stdout.strip().splitlines()[-1]}")
+                return
+            log(f"chip probe attempt {attempt} failed rc={r.returncode}")
+        except subprocess.TimeoutExpired:
+            log(f"chip probe attempt {attempt} timed out (wedged?)")
+        if time.time() > deadline:
+            log("chip never became healthy; running anyway")
+            return
+        time.sleep(90)
+
+
 def main():
+    wait_for_healthy_chip()
+
     import jax
     import jax.numpy as jnp
 

@@ -203,22 +203,18 @@ def attention_block(
             attn_kv_positions = kv_positions[:, :t]
             cache_attend = False
         else:
-            # Decode / chunked prefill: per-(row, head) scatter at write_pos.
-            # (batch, head, pos) index triplets are unique by construction —
-            # the hint keeps XLA from lowering to a serialized general
-            # scatter (measured ~20x slower without it on v5e).
-            batch_idx = jnp.arange(b)[:, None, None]  # (B, 1, 1)
-            head_idx = jnp.arange(cfg.num_key_value_heads)[None, :, None]
-            pos_idx = write_pos[:, None, :]  # (B, 1, T)
-            k_cache = k_cache.at[batch_idx, head_idx, pos_idx].set(
-                kt, unique_indices=True)
-            v_cache = v_cache.at[batch_idx, head_idx, pos_idx].set(
-                vt, unique_indices=True)
+            # Decode / chunked prefill: write_pos spans are contiguous per
+            # row (decode T=1 at cur_len; chunked prefill arange(o, o+c)),
+            # so write them as B all-head window updates — element scatters
+            # lower to ~0.16 us per (row, head, pos) update on v5e (~2 ms
+            # of a b32 decode step across 28 layers x 4 buffers).
+            rows = jnp.arange(b, dtype=jnp.int32)
+            starts = write_pos[:, 0].astype(jnp.int32)
+            k_cache = _scatter_token_spans(k_cache, kt, rows, starts)
+            v_cache = _scatter_token_spans(v_cache, vt, rows, starts)
             if int8_kv:
-                k_scale = k_scale.at[batch_idx, head_idx, pos_idx].set(
-                    kt_s, unique_indices=True)
-                v_scale = v_scale.at[batch_idx, head_idx, pos_idx].set(
-                    vt_s, unique_indices=True)
+                k_scale = _scatter_token_spans(k_scale, kt_s, rows, starts)
+                v_scale = _scatter_token_spans(v_scale, vt_s, rows, starts)
             k_full, v_full = k_cache, v_cache  # (B, KVH, S, D)
             attn_kv_valid = kv_valid
             attn_kv_positions = kv_positions
@@ -448,33 +444,30 @@ def _decode_attend_cache(
 
 def _scatter_token_spans(
     cache: jnp.ndarray,  # (B, KVH, S[, D])
-    vals: jnp.ndarray,  # (A, KVH, npt[, D])
-    rows: jnp.ndarray,  # (A,) int32; OOB rows (admission pads) drop
-    start: jnp.ndarray,  # scalar int32 — shared span start position
+    vals: jnp.ndarray,  # (A, KVH, T[, D]) — contiguous token spans
+    rows: jnp.ndarray,  # (A,) int32; out-of-bounds rows drop whole windows
+    starts: jnp.ndarray,  # (A,) or scalar int32 — span start per row
 ) -> jnp.ndarray:
-    """Write A*KVH contiguous (npt[, D]) token spans at (rows[a], h, start).
+    """Write A contiguous all-head token spans: cache[rows[a], :,
+    starts[a]:starts[a]+T] = vals[a].
 
-    One XLA scatter whose update unit is a whole token SPAN, not a token:
-    element scatters lower to ~0.16 us per update on v5e, so writing an
-    admission chunk (A*npt tokens x KVH heads) element-wise costs ~0.7 ms
-    per layer; as A*KVH window updates it is ~free.  Windows falling out of
-    bounds (padded admission rows routed to rows >= B) are dropped whole by
-    XLA scatter semantics — the engine guarantees start+npt <= S for every
-    step it issues (512-quantized t_pad and capacity, npt | 512)."""
-    a, kvh = vals.shape[0], vals.shape[1]
-    upd = vals.reshape((a * kvh, 1, 1) + vals.shape[2:]).astype(cache.dtype)
-    idx = jnp.stack(
-        [
-            jnp.repeat(rows.astype(jnp.int32), kvh),
-            jnp.tile(jnp.arange(kvh, dtype=jnp.int32), a),
-            jnp.full((a * kvh,), start, jnp.int32),
-        ],
-        axis=1,
-    )  # (A*KVH, 3)
+    One XLA scatter whose update unit is a whole (KVH, T[, D]) window, not a
+    token: element scatters lower to ~0.16 us per (row, head, pos) update on
+    v5e (~180 us for a 288-token admission chunk PER BUFFER PER LAYER, the
+    dominant cost of the mixed serving round), while A window updates move
+    the same bytes at DMA speed.  Windows falling out of bounds — inactive
+    or padded rows routed to rows >= B — are dropped whole by XLA scatter
+    semantics, which is exactly the old mode='drop' routing.  Callers
+    guarantee starts+T <= S for live rows (capacity checks in the engines).
+    """
+    a = vals.shape[0]
+    upd = vals[:, None].astype(cache.dtype)  # (A, 1, KVH, T[, D])
+    starts = jnp.broadcast_to(jnp.asarray(starts, jnp.int32), (a,))
+    idx = jnp.stack([rows.astype(jnp.int32), starts], axis=1)  # (A, 2)
     dnums = jax.lax.ScatterDimensionNumbers(
         update_window_dims=tuple(range(1, 1 + cache.ndim)),
         inserted_window_dims=(),
-        scatter_dims_to_operand_dims=(0, 1, 2),
+        scatter_dims_to_operand_dims=(0, 2),
     )
     return jax.lax.scatter(
         cache, idx, upd, dnums,
@@ -554,16 +547,14 @@ def _mixed_attention(
         kt_q, vt_q = kt.astype(k_cache.dtype), vt.astype(v_cache.dtype)
 
     dec_rows = write_rows[:b]
+    dec_pos = positions[0, :b]
     adm_rows = write_rows[b::npt]  # (A,) — repeat(adm_write_rows, npt)
     span_start = positions[0, b]  # shared npt-aligned span start
 
-    row_idx = dec_rows[:, None]  # (B, 1)
-    head_idx = jnp.arange(kvh)[None, :]  # (1, KVH)
-    pos_idx = positions[0, :b][:, None]  # (B, 1)
-    k_cache = k_cache.at[row_idx, head_idx, pos_idx].set(
-        kt_q[:b], mode="drop", unique_indices=True)
-    v_cache = v_cache.at[row_idx, head_idx, pos_idx].set(
-        vt_q[:b], mode="drop", unique_indices=True)
+    k_cache = _scatter_token_spans(
+        k_cache, kt_q[:b][:, :, None], dec_rows, dec_pos)
+    v_cache = _scatter_token_spans(
+        v_cache, vt_q[:b][:, :, None], dec_rows, dec_pos)
     k_cache = _scatter_token_spans(
         k_cache, kt_q[b:].reshape(a, npt, kvh, -1).swapaxes(1, 2),
         adm_rows, span_start)
@@ -571,10 +562,10 @@ def _mixed_attention(
         v_cache, vt_q[b:].reshape(a, npt, kvh, -1).swapaxes(1, 2),
         adm_rows, span_start)
     if int8_kv:
-        k_scale = k_scale.at[row_idx, head_idx, pos_idx].set(
-            s_k[:b], mode="drop", unique_indices=True)
-        v_scale = v_scale.at[row_idx, head_idx, pos_idx].set(
-            s_v[:b], mode="drop", unique_indices=True)
+        k_scale = _scatter_token_spans(
+            k_scale, s_k[:b][:, :, None], dec_rows, dec_pos)
+        v_scale = _scatter_token_spans(
+            v_scale, s_v[:b][:, :, None], dec_rows, dec_pos)
         k_scale = _scatter_token_spans(
             k_scale, s_k[b:].reshape(a, npt, kvh).swapaxes(1, 2),
             adm_rows, span_start)
