@@ -195,3 +195,34 @@ def test_padded_batch_matches_unpadded():
         np.asarray(hidden_pad)[:, :5], np.asarray(hidden_ref),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_scatter_token_spans_semantics():
+    """The span-window cache write must equal a reference loop: contiguous
+    (KVH, T[, D]) blocks land at (row, :, start); out-of-bounds rows drop
+    whole windows (the inactive/padded routing contract)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    b, kvh, s, d, a, t = 6, 2, 32, 4, 4, 8
+    cache = jnp.asarray(rng.normal(size=(b, kvh, s, d)), jnp.float32)
+    vals = jnp.asarray(rng.normal(size=(a, kvh, t, d)), jnp.float32)
+    rows = jnp.asarray([1, 4, b + 2, 0], jnp.int32)  # row 2 is OOB -> drop
+    starts = jnp.asarray([0, 8, 16, 24], jnp.int32)
+
+    out = qwen._scatter_token_spans(cache, vals, rows, starts)
+    ref = np.array(cache)
+    for i, (r, st) in enumerate([(1, 0), (4, 8), (None, 16), (0, 24)]):
+        if r is None:  # OOB row: window dropped
+            continue
+        ref[r, :, st:st + t] = np.array(vals)[i]
+    np.testing.assert_allclose(np.array(out), ref, rtol=0, atol=0)
+
+    # scalar start broadcast + rank-3 (scales) operand
+    cache3 = jnp.zeros((b, kvh, s), jnp.float32)
+    vals3 = jnp.ones((a, kvh, t), jnp.float32)
+    out3 = qwen._scatter_token_spans(
+        cache3, vals3, jnp.asarray([0, 1, 2, 3], jnp.int32), jnp.int32(4))
+    expect = np.zeros((b, kvh, s), np.float32)
+    expect[:4, :, 4:12] = 1.0
+    np.testing.assert_allclose(np.array(out3), expect)
