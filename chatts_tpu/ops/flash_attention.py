@@ -136,6 +136,15 @@ def flash_attention(
     if scale is None:
         scale = d ** -0.5
 
+    # Adaptive blocks: each Mosaic grid step carries ~0.35 us of fixed
+    # overhead, so long prompts want the largest blocks the shape divides
+    # (T=6144: 128x128 blocks -> 64k steps/head-batch; 256x512 -> 8k).
+    # Working set stays ~2.5 MB of VMEM double-buffered.
+    if block_q == DEFAULT_BLOCK_Q and t % 256 == 0:
+        block_q = 256
+    if block_k == DEFAULT_BLOCK_K and s_len % 512 == 0:
+        block_k = 512
+
     # (B, H, T, D) layout for clean 2-D blocks per (batch, head).
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)

@@ -18,7 +18,8 @@ def make_inputs(b, t, h, kvh, d, seed=0, dtype=jnp.float32):
     return q, k, v, positions
 
 
-@pytest.mark.parametrize("b,t,h,kvh,d", [(1, 256, 4, 2, 128), (2, 512, 4, 4, 128)])
+@pytest.mark.parametrize("b,t,h,kvh,d", [(1, 256, 4, 2, 128), (2, 512, 4, 4, 128),
+                                          (1, 1024, 4, 2, 128)])  # 1024: adaptive 256x512 blocks, multi-k-block
 def test_flash_matches_reference_causal(b, t, h, kvh, d):
     q, k, v, positions = make_inputs(b, t, h, kvh, d)
     seq_lens = jnp.asarray([t] * b) if b == 1 else jnp.asarray([t, t - 200])
