@@ -41,11 +41,24 @@ def log(*a):
 
 
 _PROBE = (
+    # Detects BOTH failure modes of the tunneled v5e: wedged (hangs -> the
+    # subprocess timeout catches it) and degraded (flat ~139 ms/step
+    # regardless of workload -> the 50-matmul loop takes ~7 s instead of
+    # ~40 ms incl. dispatch).
     "import time, jax, jax.numpy as jnp, numpy as np\n"
-    "x = jnp.ones((512, 512), jnp.bfloat16)\n"
+    "x = jnp.ones((2048, 2048), jnp.bfloat16)\n"
+    "@jax.jit\n"
+    "def f(x):\n"
+    "    def body(i, y):\n"
+    "        return (y @ x) * (1.0 / 2048.0)\n"
+    "    return jax.lax.fori_loop(0, 50, body, x)\n"
+    "v = float(np.asarray(f(x)[0, 0]))\n"
     "t0 = time.time()\n"
-    "v = float(np.asarray((x @ x)[0, 0]))\n"
-    "print('probe_ok', round(time.time() - t0, 1))\n"
+    "v = float(np.asarray(f(x)[0, 0]))\n"
+    "dt = time.time() - t0\n"
+    "print('probe_time', round(dt, 2))\n"
+    "assert dt < 2.0, f'chip degraded: 50 matmuls took {dt:.1f}s'\n"
+    "print('probe_ok')\n"
 )
 
 

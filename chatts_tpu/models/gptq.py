@@ -2,11 +2,12 @@
 
 The reference ships GPTQ-quantized variants (ChatTS-8B/14B-GPTQ-Int4,
 reference: README.md:52,260-263) served through vLLM's GPTQ kernels.  Here
-the packed tensors are dequantized on the host as they stream in — TPUs have
-no int4 dot path on this stack, so the serving-quantization story is the
-on-device int8 weight-only path (models/quantize.py); GPTQ loading exists so
-those published checkpoints are directly usable (optionally re-quantized to
-int8 at load with ``load_checkpoint(..., quantize_int8=True)``).
+symmetric checkpoints convert LOSSLESSLY to the native on-device int4
+serving layout (``to_native_int4`` -> ops/int4_matmul.py's nibble-packed
+kernel_q4/scales4, same group-128 granularity); asymmetric ones (non-8
+zero-points or desc_act row permutations) are dequantized on the host and
+re-quantized to int8 (models/quantize.py) so every published checkpoint
+remains directly usable.
 
 Format (AutoGPTQ v1, bits=4, the format of the published checkpoints):
   - ``qweight`` int32 (in/8, out): eight 4-bit codes packed per int32 along
