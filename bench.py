@@ -8,21 +8,25 @@ native-ingest matmul), int8 KV cache, continuous-batching ServeEngine at
 concurrency 32 with the fused mixed prefill+decode step (admissions never
 stall decode).
 
-Workload: closed-loop saturated load — 32 requests in flight at all times,
-each with two sp-encoded series (256 + 512 points, patch 16), ~512-token
-prompts, 128 greedy tokens; finished requests are immediately replaced, so
-admission (mixed path) runs continuously against decode.  Metrics:
-  - aggregate decode tokens/sec/chip over the saturated window (admission
-    overhead INCLUDED — this is end-to-end serving throughput)
-  - p50 TTFT of requests admitted DURING the window (continuous-batching
-    TTFT: a request arriving at a busy engine prefills through the mixed
-    step while decode keeps running)
+Three measured phases (requests: two sp-encoded series of 256+512 points,
+~512-token prompts, greedy):
+  A. decode-only tokens/sec at c32 (all slots live, no admissions) — the
+     headline `value`, directly comparable to r1's 8B int8 2,230 tok/s.
+  B. p50 TTFT at admission-burst 8 on a warm engine — r1's TTFT
+     definition (a request prefills with its arrival burst).
+  C. saturated closed loop (finished requests replaced immediately;
+     admissions run through the fused mixed prefill+decode step against
+     live decode) — serving aggregate tok/s including ALL prefill FLOPs,
+     plus the under-load TTFT distribution.
 
 Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
-vs_baseline compares against round 1's measured 8B-shape c32 decode rate
-(2,230 tok/s/chip, int8 weights, BENCHMARKS.md r1) — the same model shape,
-so the ratio reflects real progress.  Details go to stderr.
+vs_baseline compares phase A against round 1's measured 8B-shape c32 decode
+rate (2,230 tok/s/chip, int8 weights) — same shape, same definition, so the
+ratio reflects real progress.  Details go to stderr.
+
+CHATTS_BENCH_TINY=1 runs the same three phases on a tiny CPU model (logic
+smoke test for the bench itself; the numbers mean nothing).
 """
 from __future__ import annotations
 
@@ -92,7 +96,11 @@ def wait_for_healthy_chip(max_wait_s: float = 1800.0) -> None:
 
 
 def main():
-    wait_for_healthy_chip()
+    import os
+
+    tiny = os.environ.get("CHATTS_BENCH_TINY") == "1"  # CPU smoke mode
+    if not tiny:
+        wait_for_healthy_chip()
 
     import jax
     import jax.numpy as jnp
@@ -106,20 +114,35 @@ def main():
     from chatts_tpu.processor.processor import ChatTSProcessor
     from chatts_tpu.serve.scheduler import Request, SamplingParams, ServeEngine
 
+    if tiny:
+        jax.config.update("jax_platforms", "cpu")
     log(f"devices: {jax.devices()}")
 
-    vocab = 152064
-    cfg = ChatTSConfig(
-        llm=QwenConfig(
-            vocab_size=vocab, hidden_size=3584, intermediate_size=18944,
-            num_hidden_layers=28, num_attention_heads=28,
-            num_key_value_heads=4, head_dim=128, rope_theta=1e6,
-            attention_bias=True, dtype="bfloat16",
-        ),
-        ts=TSEncoderConfig(patch_size=16, num_layers=5, hidden_size=3584,
-                           max_sequence_length=4096),
-        ts_token_start_index=vocab - 10,
-    )
+    vocab = 152064 if not tiny else 512
+    if tiny:
+        cfg = ChatTSConfig(
+            llm=QwenConfig(
+                vocab_size=vocab, hidden_size=128, intermediate_size=256,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=2, head_dim=32, rope_theta=1e6,
+                attention_bias=True, dtype="float32",
+            ),
+            ts=TSEncoderConfig(patch_size=16, num_layers=2, hidden_size=128,
+                               max_sequence_length=4096),
+            ts_token_start_index=vocab - 10,
+        )
+    else:
+        cfg = ChatTSConfig(
+            llm=QwenConfig(
+                vocab_size=vocab, hidden_size=3584, intermediate_size=18944,
+                num_hidden_layers=28, num_attention_heads=28,
+                num_key_value_heads=4, head_dim=128, rope_theta=1e6,
+                attention_bias=True, dtype="bfloat16",
+            ),
+            ts=TSEncoderConfig(patch_size=16, num_layers=5, hidden_size=3584,
+                               max_sequence_length=4096),
+            ts_token_start_index=vocab - 10,
+        )
 
     class _Tok:
         pad_token_id = 0
@@ -132,8 +155,16 @@ def main():
                     for w in text.split()]
 
     t0 = time.perf_counter()
-    params = quantize.init_quantized_params(cfg, jax.random.PRNGKey(0),
-                                            fused=True, bits=4)
+    if tiny:
+        # CPU XLA rejects bf16 dots; build f32 params and quantize.
+        from chatts_tpu.models import chatts
+
+        params = quantize.quantize_params(
+            chatts.init_params(cfg, jax.random.PRNGKey(0),
+                               dtype=jnp.float32), bits=4)
+    else:
+        params = quantize.init_quantized_params(cfg, jax.random.PRNGKey(0),
+                                                fused=True, bits=4)
     params = jax.block_until_ready(params)
     log(f"init 8B int4 params: {time.perf_counter() - t0:.1f}s, "
         f"{quantize.param_bytes(params) / 1e9:.2f} GB on chip")
@@ -199,7 +230,66 @@ def main():
         log(f"workload warmup errors: {errs[:3]}")
     log(f"workload-shape warmup: {time.perf_counter() - t0:.1f}s")
 
-    # Closed-loop saturated load: keep `concurrency` requests in flight.
+    def drain(timeout_s=120.0):
+        deadline = time.time() + timeout_s
+        while engine.stats()["active_slots"] > 0 or not engine.waiting.empty():
+            if time.time() > deadline:
+                log("drain timed out")
+                return
+            time.sleep(0.05)
+
+    # --- Phase A: decode throughput at c32 (comparable to r1's 2230) ------
+    # Fill every slot, then measure pure decode rate with no admissions.
+    deco = []
+    for _ in range(concurrency):
+        r = mkreq()
+        r.params.max_tokens = 350  # fits prompt+budget under cap 1024
+        engine.submit(r)
+        deco.append(r)
+    deadline = time.time() + 300
+    while not all(r.output_tokens or r.error for r in deco):
+        if time.time() > deadline:
+            break
+        time.sleep(0.02)
+    # Measure while ALL slots stay live: stop at the first completion.
+    # (total_output_tokens only updates at request completion, so count the
+    # streamed per-request token lists directly.)
+    base_tokens = sum(len(r.output_tokens) for r in deco)
+    a0 = time.perf_counter()
+    while (not any(r.finished_s is not None for r in deco)
+           and time.perf_counter() - a0 < (8.0 if tiny else 30.0)):
+        time.sleep(0.05)
+    decode_tps = (sum(len(r.output_tokens) for r in deco) - base_tokens) / (
+        time.perf_counter() - a0)
+    for r in deco:
+        r.cancel()
+    drain()
+    log(f"phase A: decode-only {decode_tps:.0f} tok/s at c{concurrency}")
+
+    # --- Phase B: TTFT at admission-burst 8, warm idle engine (r1's TTFT
+    # definition: a request prefills with its arrival burst) ---------------
+    burst_ttfts: list = []
+    for trial in range(2 if tiny else 4):
+        reqs = [mkreq() for _ in range(8)]
+        for r in reqs:
+            engine.submit(r)
+        deadline = time.time() + 300
+        while not all(r.ttft_s is not None or r.error for r in reqs):
+            if time.time() > deadline:
+                break
+            time.sleep(0.01)
+        if trial > 0:  # first trial may pay a residual compile
+            burst_ttfts.extend(
+                [r.ttft_s for r in reqs if r.ttft_s is not None])
+        for r in reqs:
+            r.cancel()
+        drain()
+    p50_ttft_ms = (float(np.median(burst_ttfts) * 1e3) if burst_ttfts
+                   else float("nan"))
+    log(f"phase B: burst-8 TTFT p50 {p50_ttft_ms:.0f} ms "
+        f"({len(burst_ttfts)} samples)")
+
+    # --- Phase C: saturated closed-loop serving (admissions never stop) ---
     stop = threading.Event()
     finished: list = []
     admitted_during_window: list = []
@@ -226,17 +316,13 @@ def main():
 
     gen = threading.Thread(target=loadgen, daemon=True)
     gen.start()
-
-    # Let the loop reach steady state (first cohort admitted + replacements
-    # flowing), then measure a fixed window.
-    time.sleep(25)
+    time.sleep(4 if tiny else 20)
     with lock:
         finished.clear()
     base_tokens = engine.total_output_tokens
     window_open.set()
     w0 = time.perf_counter()
-    window_s = 60.0
-    time.sleep(window_s)
+    time.sleep(8.0 if tiny else 45.0)
     elapsed = time.perf_counter() - w0
     tokens_out = engine.total_output_tokens - base_tokens
     window_open.clear()
@@ -249,28 +335,33 @@ def main():
                  if r.ttft_s is not None]
         n_done = len([r for r in finished if r.error is None])
         n_err = len([r for r in finished if r.error is not None])
-    p50_ttft_ms = float(np.median(ttfts) * 1e3) if ttfts else float("nan")
-    p90_ttft_ms = (float(np.percentile(ttfts, 90) * 1e3) if ttfts
-                   else float("nan"))
-    log(f"window {elapsed:.1f}s: {tokens_out} tokens -> {agg_tps:.0f} tok/s "
-        f"aggregate; {n_done} requests completed ({n_err} errors); "
-        f"{len(ttfts)} TTFT samples, p50 {p50_ttft_ms:.0f} ms, "
-        f"p90 {p90_ttft_ms:.0f} ms")
-    stats = engine.stats()
-    log(f"engine stats: {stats}")
+    sat_p50 = float(np.median(ttfts) * 1e3) if ttfts else float("nan")
+    sat_p90 = (float(np.percentile(ttfts, 90) * 1e3) if ttfts
+               else float("nan"))
+    log(f"phase C: {tokens_out} tokens in {elapsed:.1f}s -> {agg_tps:.0f} "
+        f"tok/s serving aggregate (prefill FLOPs included); {n_done} done "
+        f"({n_err} errors); saturated TTFT p50 {sat_p50:.0f} / p90 "
+        f"{sat_p90:.0f} ms")
+    log(f"engine stats: {engine.stats()}")
     engine.stop()
 
     print(
         json.dumps(
             {
-                "metric": "serving_tokens_per_sec_per_chip_chatts8b_int4_c32",
-                "value": round(agg_tps, 1),
+                "metric": "decode_tokens_per_sec_per_chip_chatts8b_int4_c32",
+                "value": round(decode_tps, 1),
                 "unit": "tokens/s/chip",
-                "vs_baseline": round(agg_tps / R1_8B_C32_TOKS, 3),
+                "vs_baseline": round(decode_tps / R1_8B_C32_TOKS, 3),
                 "p50_ttft_ms": round(p50_ttft_ms, 1),
-                "p90_ttft_ms": round(p90_ttft_ms, 1),
+                "serving_agg_tokens_per_sec": round(agg_tps, 1),
+                "serving_ttft_p50_ms": round(sat_p50, 1),
+                "serving_ttft_p90_ms": round(sat_p90, 1),
                 "requests_completed_per_min": round(n_done * 60 / elapsed, 1),
-                "baseline_note": "vs round-1 8B-shape c32 decode 2230 tok/s (int8)",
+                "baseline_note": (
+                    "decode c32 vs r1 8B int8 2230 tok/s; ttft = burst-8 on "
+                    "warm engine (r1 definition); serving_agg includes "
+                    "continuous admission prefill FLOPs"
+                ),
             }
         )
     )
