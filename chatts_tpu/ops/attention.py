@@ -78,25 +78,41 @@ def attention(
 ) -> jnp.ndarray:
     """Dispatch between XLA reference attention and the Pallas flash kernel.
 
-    "auto" resolves to the XLA path.  Measured end-to-end through the engine
-    on v5e (prefill + 1 token, real data fetch — per-op microbenchmarks on
-    the axon tunnel are dispatch-dominated and unusable), the einsum
-    formulation edges out the Pallas kernel at the batched-prefill shapes
-    that matter (567 vs 593 ms full 24-layer prefill at B32 T512) and XLA
-    fuses the row-wise softmax on its own.  impl="flash" forces the Pallas
-    kernel (kept for VMEM-bounded scores on very long single-row prefills,
-    exercised in tests, and as the base for future fused-kernel work)."""
-    if impl == "flash":
-        from chatts_tpu.ops import flash_attention as fa
+    "auto" picks by the measured crossover (VERDICT r1 item 3).  A/B on the
+    real v5e, full 28-layer 8B-shape forward with a data fetch (per-op
+    microbenchmarks on the axon tunnel are dispatch-dominated and unusable),
+    causal prompts, r2 kernel (block skipping + adaptive 256x512 blocks):
 
-        if fa.supported(q, k):
-            return fa.flash_attention(
-                q, k, v,
-                q_positions=q_positions,
-                kv_positions=kv_positions,
-                kv_valid=kv_valid,
-                scale=scale,
-            )
+        | shape      | XLA einsum | flash kernel |
+        |------------|-----------:|-------------:|
+        | B32 T512   |    1517 ms |      1513 ms |
+        | B8  T2048  |    2318 ms |      1719 ms |
+        | B1  T2048  |     244 ms |       210 ms |
+        | B1  T6144  |    1096 ms |       693 ms |
+        | B1  T12288 | OOM(scores)|      1690 ms |
+
+    The einsum materializes (H, T, S) f32 scores, so it loses HBM traffic
+    as T grows and cannot run the reference's 12k streaming contexts at
+    all; the kernel wins or ties everywhere it applies.  "auto" therefore
+    takes flash whenever the shape fits the kernel (blocks divide, T >=
+    512); short/ragged blocks stay on XLA, whose fused softmax is optimal
+    there.  impl="flash"/"xla" force a path."""
+    from chatts_tpu.ops import flash_attention as fa
+
+    interp = fa.interpret_enabled()
+    take_flash = impl == "flash"
+    if (impl == "auto" and q.shape[1] >= 512
+            and (jax.default_backend() == "tpu" or interp)):
+        take_flash = True
+    if take_flash and fa.supported(q, k):
+        return fa.flash_attention(
+            q, k, v,
+            q_positions=q_positions,
+            kv_positions=kv_positions,
+            kv_valid=kv_valid,
+            scale=scale,
+            interpret=interp,
+        )
     return mha_reference(
         q, k, v,
         q_positions=q_positions,

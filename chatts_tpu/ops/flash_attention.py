@@ -25,6 +25,15 @@ MIN_FLASH_SEQ_LEN = 256
 DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 128
 
+
+def interpret_enabled() -> bool:
+    """Pallas interpret mode (CHATTS_FLASH_INTERPRET=1): lets CPU runs
+    exercise the exact kernel dispatch the TPU takes under attn_impl
+    'auto' (mirrors ragged_decode_attention / int4_matmul)."""
+    import os
+
+    return os.environ.get("CHATTS_FLASH_INTERPRET", "") == "1"
+
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 

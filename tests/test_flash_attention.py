@@ -77,3 +77,36 @@ def test_supported_gate():
     assert not supported(q2, k2)
     q3, k3, _, _ = make_inputs(1, 256, 4, 2, 96)  # odd head dim
     assert not supported(q3, k3)
+
+
+def test_auto_dispatch_takes_kernel_at_512(monkeypatch):
+    """attn 'auto' routes T>=512 prefills to the flash kernel (measured
+    crossover, BENCHMARKS.md r2); CHATTS_FLASH_INTERPRET=1 exercises the
+    exact dispatch on CPU."""
+    from chatts_tpu.ops import attention as attn_mod
+
+    monkeypatch.setenv("CHATTS_FLASH_INTERPRET", "1")
+    b, t, h, kvh, d = 1, 512, 4, 2, 128
+    q, k, v, positions = make_inputs(b, t, h, kvh, d)
+    kv_valid = positions < t
+
+    called = {}
+    orig = flash_attention
+
+    def spy(*a, **kw):
+        called["yes"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(
+        "chatts_tpu.ops.flash_attention.flash_attention", spy)
+    out = attn_mod.attention(
+        q, k, v, q_positions=positions, kv_positions=positions,
+        kv_valid=kv_valid, impl="auto",
+    )
+    assert called.get("yes"), "auto did not take the flash kernel at T=512"
+    ref = mha_reference(
+        q, k, v, q_positions=positions, kv_positions=positions,
+        kv_valid=kv_valid,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
