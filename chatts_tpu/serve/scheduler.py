@@ -361,7 +361,7 @@ class ServeEngine:
         fuse: bool = True,
         prefill_chunk: Optional[int] = None,
         mixed_admission: bool = True,
-        mixed_npt: int = 32,
+        mixed_npt: int = 64,
     ):
         if fuse:
             params = chatts.maybe_fuse(params)
@@ -563,28 +563,32 @@ class ServeEngine:
             return True
 
         for bucket in sorted(prefill_buckets):
-            if not ensure_runner():
-                return
-            words = " ".join("warm" for _ in range(max(1, bucket - 64)))
-            reqs = [
-                Request(f"{words} {holes}", mkseries(),
-                        SamplingParams(max_tokens=2, temperature=0.0))
-                for _ in range(self._a_bucket)
-            ]
-            for req in reqs:
-                self.submit(req)
-            for req in reqs:
-                while req.finished_s is None and req.error is None:
-                    if time.time() > deadline:
-                        print(f"[warmup] mixed bucket {bucket} timed out",
-                              file=sys.stderr)
-                        if runner_box[0] is not None:
-                            runner_box[0].cancel()
-                        return
-                    time.sleep(0.01)
-                if req.error:
-                    print(f"[warmup] mixed bucket {bucket} failed: "
-                          f"{req.error}", file=sys.stderr)
+            # Both admission-row families: the full bucket (bursts) and the
+            # 2-row bucket (steady-state trickle replacements).
+            for rows in ({self._a_bucket, 2} if self._a_bucket > 2
+                         else {self._a_bucket}):
+                if not ensure_runner():
+                    return
+                words = " ".join("warm" for _ in range(max(1, bucket - 64)))
+                reqs = [
+                    Request(f"{words} {holes}", mkseries(),
+                            SamplingParams(max_tokens=2, temperature=0.0))
+                    for _ in range(rows)
+                ]
+                for req in reqs:
+                    self.submit(req)
+                for req in reqs:
+                    while req.finished_s is None and req.error is None:
+                        if time.time() > deadline:
+                            print(f"[warmup] mixed bucket {bucket} timed out",
+                                  file=sys.stderr)
+                            if runner_box[0] is not None:
+                                runner_box[0].cancel()
+                            return
+                        time.sleep(0.01)
+                    if req.error:
+                        print(f"[warmup] mixed bucket {bucket} failed: "
+                              f"{req.error}", file=sys.stderr)
         runner = runner_box[0]
         if runner is None:
             return
@@ -838,11 +842,15 @@ class ServeEngine:
         stall, and prompt K/V writes land directly in the big caches at the
         admission slots (no transient caches, no placement pass).
 
-        Compile surface: the mixed step always sees an
-        (A_bucket, decode_chunk*mixed_npt, H) embed slice, so only the
-        kv_limit ladder (512-quantized) keys recompiles; the embed pass is
-        keyed on the processor's existing token buckets."""
-        a = self._a_bucket
+        Compile surface: the mixed step sees an
+        (A_bucket, decode_chunk*mixed_npt, H) embed slice with A_bucket in
+        {2, full} — so only {bucket} x {kv_limit ladder} keys recompiles;
+        the embed pass is keyed on the processor's existing token buckets.
+        The small bucket matters at steady state: requests finish in
+        trickles of 1-2, and an 8-row-padded mixed step burns 4x the
+        prompt FLOPs (pad rows compute!) of a 2-row one — measured 995 ms
+        vs ~300 ms per round on the 8B shape."""
+        a = 2 if len(reqs) <= 2 else self._a_bucket
         kb, t = batch.input_ids.shape
         c = self.decode_chunk * self.mixed_npt
         t_pad = -(-t // c) * c
