@@ -4,7 +4,8 @@ Headline configuration (the north star's serving shape, VERDICT r1 item 2):
 Qwen2.5-7B-class backbone (hidden 3584, 28 layers, 28 heads / 4 KV heads,
 intermediate 18944, vocab 152064) + 5-layer TS encoder — random weights in
 the int4 serving layout (nibble-packed, group-128 scales, Pallas
-native-ingest matmul), int8 KV cache, continuous-batching ServeEngine at
+native-ingest matmul), bf16 KV cache (faster than int8 KV at this
+shape/capacity; int8 KV is the cap-6144 capacity play), ServeEngine at
 concurrency 32 with the fused mixed prefill+decode step (admissions never
 stall decode).
 
@@ -175,7 +176,11 @@ def main():
         params, cfg, proc,
         max_batch_size=concurrency,
         max_model_len=1024,
-        cache_dtype=jnp.int8,
+        # bf16 KV: measured faster than int8 KV at the 8B shape (13.1 vs
+        # 13.9 ms TPOT at b32 — in-dot dequant doesn't fuse into the dense
+        # attention read here), and int4 weights leave plenty of HBM for
+        # it at cap 1024.  int8 KV remains the capacity play for cap 6144.
+        cache_dtype=jnp.bfloat16,
         decode_chunk=16,
         fuse=False,
     )
