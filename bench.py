@@ -225,12 +225,13 @@ def main():
     extra = [mkreq() for _ in range(8)]
     for r in extra:
         engine.submit(r)
-    # ... and the 2-row trickle family (steady-state replacements).
-    time.sleep(3)
-    extra2 = [mkreq() for _ in range(2)]
-    for r in extra2:
-        engine.submit(r)
-    extra += extra2
+    # ... and the 4-/2-row trickle families (steady-state replacements).
+    for n in (4, 2):
+        time.sleep(3)
+        batch2 = [mkreq() for _ in range(n)]
+        for r in batch2:
+            engine.submit(r)
+        extra += batch2
     while any(r.finished_s is None and r.error is None for r in pre + extra):
         if time.time() > deadline:
             log("workload warmup timed out")

@@ -563,10 +563,10 @@ class ServeEngine:
             return True
 
         for bucket in sorted(prefill_buckets):
-            # Both admission-row families: the full bucket (bursts) and the
-            # 2-row bucket (steady-state trickle replacements).
-            for rows in ({self._a_bucket, 2} if self._a_bucket > 2
-                         else {self._a_bucket}):
+            # Every admission-row family: the full bucket (bursts) plus the
+            # 4- and 2-row families (steady-state trickle replacements).
+            for rows in sorted({self._a_bucket, min(4, self._a_bucket),
+                                min(2, self._a_bucket)}, reverse=True):
                 if not ensure_runner():
                     return
                 words = " ".join("warm" for _ in range(max(1, bucket - 64)))
@@ -711,16 +711,14 @@ class ServeEngine:
         # compiled shape, staggered TTFTs); overflow goes back to the queue
         # and admits next round — the first sub-batch is already decoding
         # while the next one prefills.
-        # The mixed step writes prompt K/V as npt-token span windows; every
-        # span start is npt-aligned below ceil(t_pad/c)*c, so that rounded
-        # bound must fit the cache or a tail window would fall out of
-        # bounds (dropped whole -> lost prompt K/V).  Holds for every
-        # 512-quantized capacity when c | 512; odd configs fall back to
-        # monolithic admission.
-        c_round = self.decode_chunk * self.mixed_npt
-        t_pad = batch.input_ids.shape[1]
-        spans_fit = (-(-t_pad // c_round) * c_round
-                     <= self.caches[0][0].shape[2])
+        # The mixed step writes prompt K/V as npt-token span windows; the
+        # padded round bound must fit the cache or a tail window would fall
+        # out of bounds (dropped whole -> lost prompt K/V).  Odd configs
+        # fall back to monolithic admission.
+        # (worst-case family: largest a -> smallest npt cap -> most pad)
+        _, _, _, t_pad_m = self._mixed_plan(
+            self._a_bucket, batch.input_ids.shape[1])
+        spans_fit = t_pad_m <= self.caches[0][0].shape[2]
         use_mixed = self.mixed_admission and spans_fit and (
             self.live_host.any()
             or (self.prefill_chunk is not None
@@ -834,6 +832,20 @@ class ServeEngine:
         self.top_p = jnp.asarray(topp_h)
         self.budget = jnp.asarray(budget_h)
 
+    def _mixed_plan(self, n_reqs: int, t: int):
+        """Size a mixed admission: (row family a, tokens-per-row-per-step
+        npt, tokens-per-row-per-round c, padded prompt length t_pad).
+
+        a is the smallest family covering the admitted rows; npt is exact
+        (whole prompt in one round) unless capped to keep the packed matmul
+        rows (B + a*npt) within the int4 kernel's 512-row single block."""
+        a = 2 if n_reqs <= 2 else (4 if n_reqs <= 4 else self._a_bucket)
+        npt_cap = max(8, (512 - self.max_batch_size) // a)
+        npt = min(-(-t // self.decode_chunk), npt_cap, self.mixed_npt)
+        c = self.decode_chunk * npt
+        t_pad = -(-t // c) * c
+        return a, npt, c, t_pad
+
     def _start_mixed_admission(self, reqs, slots, keep_rows, batch) -> None:
         """Begin a mixed admission: the prompt's merged embeddings are
         precomputed once, then every engine-loop iteration consumes
@@ -843,17 +855,16 @@ class ServeEngine:
         admission slots (no transient caches, no placement pass).
 
         Compile surface: the mixed step sees an
-        (A_bucket, decode_chunk*mixed_npt, H) embed slice with A_bucket in
-        {2, full} — so only {bucket} x {kv_limit ladder} keys recompiles;
-        the embed pass is keyed on the processor's existing token buckets.
-        The small bucket matters at steady state: requests finish in
-        trickles of 1-2, and an 8-row-padded mixed step burns 4x the
-        prompt FLOPs (pad rows compute!) of a 2-row one — measured 995 ms
-        vs ~300 ms per round on the 8B shape."""
-        a = 2 if len(reqs) <= 2 else self._a_bucket
+        (A, decode_chunk*npt, H) embed slice with A in {2, 4, full} and npt
+        sized to the prompt's token bucket — so {row family} x {token
+        bucket} x {kv_limit ladder} keys recompiles.  Right-sizing BOTH
+        axes matters: pad rows and pad tokens COMPUTE, and at steady state
+        ~4 requests finish per 512-decode-token round, so an always-8-row,
+        npt-64-padded step burned 69% of its prompt FLOPs on padding and
+        saturated serving at ~370 tok/s (the prompt side of a mixed round
+        is pure MXU work, ~13 GFLOP per token at the 8B shape)."""
         kb, t = batch.input_ids.shape
-        c = self.decode_chunk * self.mixed_npt
-        t_pad = -(-t // c) * c
+        a, npt, c, t_pad = self._mixed_plan(len(reqs), t)
 
         input_ids = np.full((a, t_pad), self.processor.pad_token_id, np.int32)
         input_ids[:kb, :t] = batch.input_ids
@@ -887,7 +898,7 @@ class ServeEngine:
         hdim = embeds.shape[-1]
         self._pending_mixed = {
             "reqs": reqs, "slots": slots, "keep_rows": keep_rows,
-            "embeds": embeds, "o": 0, "t_pad": t_pad,
+            "embeds": embeds, "o": 0, "t_pad": t_pad, "npt": npt,
             "adm_slots": jnp.asarray(adm_slots),
             "adm_write_rows": jnp.asarray(adm_write_rows),
             "seq_dev": jnp.asarray(seq_lens),
@@ -902,7 +913,8 @@ class ServeEngine:
         prompt tokens — a single jit'd executable, so admission never
         blocks decode (VERDICT r1 item 1)."""
         st = self._pending_mixed
-        c = self.decode_chunk * self.mixed_npt
+        npt = st["npt"]
+        c = self.decode_chunk * npt
         o = st["o"]
         cache_len = self.caches[0][0].shape[2]
         kv_limit = min(cache_len, -(-min(o + c, st["t_pad"]) // 512) * 512)
@@ -915,7 +927,7 @@ class ServeEngine:
             st["last_hidden"], emitted,
         ) = self._mixed_jit(
             self.params, self.cfg, self.attn_impl, self.decode_chunk,
-            self.mixed_npt, kv_limit,
+            npt, kv_limit,
             self.caches, self.tokens, self.cur_lens, active,
             self.temperature, self.top_p,
             jnp.asarray(eos_list, jnp.int32), self.budget,
