@@ -279,7 +279,7 @@ def _mixed_step_all_slots(
         )
     )
     return (caches, tokens, cur_lens, live, budget_left, adm_last_hidden,
-            emitted.T)
+            rng, emitted.T)
 
 
 def _decode_all_slots(
@@ -339,7 +339,10 @@ def _decode_all_slots(
         body, (caches, tokens, cur_lens, live0, budget_left, rng), None,
         length=chunk_size,
     )
-    return caches, tokens, cur_lens, live, budget_left, emitted.T  # (B, chunk)
+    # rng is returned so the host can thread it into the next round without
+    # a standalone jax.random.split (each host-side device op costs a
+    # 5-20 ms tunnel dispatch per serving round on this environment).
+    return caches, tokens, cur_lens, live, budget_left, rng, emitted.T
 
 
 class ServeEngine:
@@ -392,6 +395,10 @@ class ServeEngine:
         self._a_bucket = min(8, max_batch_size)
         self.attn_impl = attn_impl
         self.eos_token_ids = tuple(eos_token_ids)
+        # Hoisted device constant: rebuilding it per round costs a tunnel
+        # dispatch (~5-20 ms) on this environment.
+        self._eos_dev = jnp.asarray(
+            list(self.eos_token_ids) or [-1], jnp.int32)
         self.pad_id = processor.pad_token_id
 
         self.cache_dtype = cache_dtype
@@ -919,20 +926,18 @@ class ServeEngine:
         cache_len = self.caches[0][0].shape[2]
         kv_limit = min(cache_len, -(-min(o + c, st["t_pad"]) // 512) * 512)
         emb_slice = self._slice_jit(st["embeds"], jnp.int32(o), c=c)
-        eos_list = list(self.eos_token_ids) or [-1]
-        self.rng, key = jax.random.split(self.rng)
         active = jnp.asarray(self.live_host)
         (
             self.caches, self.tokens, self.cur_lens, live, self.budget,
-            st["last_hidden"], emitted,
+            st["last_hidden"], self.rng, emitted,
         ) = self._mixed_jit(
             self.params, self.cfg, self.attn_impl, self.decode_chunk,
             npt, kv_limit,
             self.caches, self.tokens, self.cur_lens, active,
             self.temperature, self.top_p,
-            jnp.asarray(eos_list, jnp.int32), self.budget,
+            self._eos_dev, self.budget,
             st["adm_slots"], st["adm_write_rows"], emb_slice, jnp.int32(o),
-            st["seq_dev"], st["last_hidden"], key,
+            st["seq_dev"], st["last_hidden"], self.rng,
             mesh=self.mesh,
         )
         st["o"] = o + c
@@ -964,17 +969,16 @@ class ServeEngine:
         for slot, req in enumerate(self.slots):
             if req is not None and req.cancelled and self.live_host[slot]:
                 self._finish(slot, "cancelled")
-        eos_list = list(self.eos_token_ids) or [-1]
-        self.rng, key = jax.random.split(self.rng)
         active = jnp.asarray(self.live_host)
         (
-            self.caches, self.tokens, self.cur_lens, live, self.budget, emitted
+            self.caches, self.tokens, self.cur_lens, live, self.budget,
+            self.rng, emitted
         ) = self._decode_jit(
             self.params, self.cfg, self.attn_impl, self.decode_chunk,
             self.pad_id,
             self.caches, self.tokens, self.cur_lens, active,
             self.temperature, self.top_p,
-            jnp.asarray(eos_list, jnp.int32), self.budget, key,
+            self._eos_dev, self.budget, self.rng,
             mesh=self.mesh,
         )
         self._process_emitted(np.asarray(emitted), np.asarray(live))
