@@ -301,6 +301,26 @@ def main():
     log(f"phase B: burst-8 TTFT p50 {p50_ttft_ms:.0f} ms "
         f"({len(burst_ttfts)} samples)")
 
+    # --- Phase B2: single-request TTFT on a warm idle engine (isolation
+    # latency: the prompt's own ~8 TFLOP of prefill, nothing else) --------
+    solo_ttfts: list = []
+    for trial in range(3 if tiny else 6):
+        r = mkreq()
+        engine.submit(r)
+        deadline = time.time() + 300
+        while r.ttft_s is None and not r.error:
+            if time.time() > deadline:
+                break
+            time.sleep(0.005)
+        if trial > 0 and r.ttft_s is not None:
+            solo_ttfts.append(r.ttft_s)
+        r.cancel()
+        drain()
+    p50_solo_ms = (float(np.median(solo_ttfts) * 1e3) if solo_ttfts
+                   else float("nan"))
+    log(f"phase B2: single-request TTFT p50 {p50_solo_ms:.0f} ms "
+        f"({len(solo_ttfts)} samples)")
+
     # --- Phase C: saturated closed-loop serving (admissions never stop) ---
     stop = threading.Event()
     finished: list = []
@@ -365,6 +385,7 @@ def main():
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(decode_tps / R1_8B_C32_TOKS, 3),
                 "p50_ttft_ms": round(p50_ttft_ms, 1),
+                "p50_ttft_single_ms": round(p50_solo_ms, 1),
                 "serving_agg_tokens_per_sec": round(agg_tps, 1),
                 "serving_ttft_p50_ms": round(sat_p50, 1),
                 "serving_ttft_p90_ms": round(sat_p90, 1),

@@ -491,10 +491,13 @@ class ServeEngine:
             holes = " ".join(encoding.TS_PAIR for _ in range(series_per_request))
             prompt = f"{words} {holes}"
             # Full burst compiles the max-row admission shape; the trailing
-            # small burst compiles the 8-row shape used for trickle traffic.
+            # small bursts compile the 8-row and 2-row shapes used for
+            # trickle / single-request traffic.
             bursts = [self.max_batch_size]
             if self.max_batch_size > 8:
                 bursts.append(4)
+            if self.max_batch_size > 2:
+                bursts.append(1)
             for burst in bursts:
                 reqs = []
                 for _ in range(burst):
@@ -756,11 +759,16 @@ class ServeEngine:
             return
         kb = batch.input_ids.shape[0]
         t = batch.input_ids.shape[1]
-        # Admission-row buckets: small bursts use an 8-row prefill (~4x
-        # cheaper than the full-slot shape — prefill FLOPs scale with rows),
-        # full cohorts use max_batch_size rows.  Two compiled shapes per
-        # token bucket.
-        bp = 8 if (kb <= 8 and self.max_batch_size > 8) else self.max_batch_size
+        # Admission-row buckets: padded rows COMPUTE, so bucket tightly —
+        # a single request padded to 8 rows pays 8x its prefill FLOPs
+        # (~470 ms vs ~120 ms at the 8B shape).  Three compiled shapes per
+        # token bucket: {2, 8, full}.
+        if kb <= 2 and self.max_batch_size > 2:
+            bp = 2
+        elif kb <= 8 and self.max_batch_size > 8:
+            bp = 8
+        else:
+            bp = self.max_batch_size
 
         # Pad request rows to the admission bucket; non-admitted rows
         # compute but land nowhere (their slot_mask is off).
