@@ -278,8 +278,11 @@ def _mixed_step_all_slots(
             (xs_embeds, step_offsets),
         )
     )
-    return (caches, tokens, cur_lens, live, budget_left, adm_last_hidden,
-            rng, emitted.T)
+    packed = jnp.concatenate(
+        [emitted.T.astype(jnp.int32), live.astype(jnp.int32)[:, None]],
+        axis=1)
+    return (caches, tokens, cur_lens, budget_left, adm_last_hidden,
+            rng, packed)
 
 
 def _decode_all_slots(
@@ -340,9 +343,14 @@ def _decode_all_slots(
         length=chunk_size,
     )
     # rng is returned so the host can thread it into the next round without
-    # a standalone jax.random.split (each host-side device op costs a
-    # 5-20 ms tunnel dispatch per serving round on this environment).
-    return caches, tokens, cur_lens, live, budget_left, rng, emitted.T
+    # a standalone jax.random.split, and emitted+live are PACKED into one
+    # array so the host fetches one result instead of two (each host-side
+    # device op / fetch costs a 5-20 ms tunnel dispatch per serving round
+    # on this environment).  packed: (B, chunk+1); last column = live flag.
+    packed = jnp.concatenate(
+        [emitted.T.astype(jnp.int32), live.astype(jnp.int32)[:, None]],
+        axis=1)
+    return caches, tokens, cur_lens, budget_left, rng, packed
 
 
 class ServeEngine:
@@ -415,6 +423,11 @@ class ServeEngine:
 
         self.slots: List[Optional[Request]] = [None] * b
         self.live_host = np.zeros((b,), bool)
+        # Device mirror of live_host, re-uploaded only when the content
+        # changes (a host->device transfer is a tunnel dispatch; at steady
+        # decode nothing changes between rounds).
+        self._active_dev = None
+        self._active_key = None
         # In-flight mixed admission (prompt tokens consumed inside the
         # decode rounds; see _mixed_step_all_slots).
         self._pending_mixed: Optional[Dict[str, Any]] = None
@@ -934,10 +947,10 @@ class ServeEngine:
         cache_len = self.caches[0][0].shape[2]
         kv_limit = min(cache_len, -(-min(o + c, st["t_pad"]) // 512) * 512)
         emb_slice = self._slice_jit(st["embeds"], jnp.int32(o), c=c)
-        active = jnp.asarray(self.live_host)
+        active = self._active_device()
         (
-            self.caches, self.tokens, self.cur_lens, live, self.budget,
-            st["last_hidden"], self.rng, emitted,
+            self.caches, self.tokens, self.cur_lens, self.budget,
+            st["last_hidden"], self.rng, packed,
         ) = self._mixed_jit(
             self.params, self.cfg, self.attn_impl, self.decode_chunk,
             npt, kv_limit,
@@ -950,7 +963,8 @@ class ServeEngine:
         )
         st["o"] = o + c
         self.mixed_rounds_run += 1
-        self._process_emitted(np.asarray(emitted), np.asarray(live))
+        arr = np.asarray(packed)
+        self._process_emitted(arr[:, :-1], arr[:, -1].astype(bool))
         if st["o"] < st["t_pad"]:
             return
         first = self._sample_first_jit(
@@ -972,15 +986,22 @@ class ServeEngine:
         self.slots[slot] = None
         self.live_host[slot] = False
 
+    def _active_device(self):
+        key = self.live_host.tobytes()
+        if self._active_key != key:
+            self._active_dev = jnp.asarray(self.live_host)
+            self._active_key = key
+        return self._active_dev
+
     def _decode_round(self) -> None:
         # Honor cancellations before spending device time.
         for slot, req in enumerate(self.slots):
             if req is not None and req.cancelled and self.live_host[slot]:
                 self._finish(slot, "cancelled")
-        active = jnp.asarray(self.live_host)
+        active = self._active_device()
         (
-            self.caches, self.tokens, self.cur_lens, live, self.budget,
-            self.rng, emitted
+            self.caches, self.tokens, self.cur_lens, self.budget,
+            self.rng, packed
         ) = self._decode_jit(
             self.params, self.cfg, self.attn_impl, self.decode_chunk,
             self.pad_id,
@@ -989,7 +1010,8 @@ class ServeEngine:
             self._eos_dev, self.budget, self.rng,
             mesh=self.mesh,
         )
-        self._process_emitted(np.asarray(emitted), np.asarray(live))
+        arr = np.asarray(packed)
+        self._process_emitted(arr[:, :-1], arr[:, -1].astype(bool))
 
     def _process_emitted(self, emitted_host: np.ndarray,
                          live_host: np.ndarray) -> None:
