@@ -67,7 +67,7 @@ _PROBE = (
 )
 
 
-def wait_for_healthy_chip(max_wait_s: float = 1800.0) -> None:
+def wait_for_healthy_chip(max_wait_s: float = 1200.0) -> None:
     """The v5e behind the axon tunnel intermittently wedges (simple matmuls
     hang; recovers in ~20-30 min).  Probe it in a SUBPROCESS with a timeout
     before initializing our own client, so a wedged chip delays the bench
