@@ -459,3 +459,33 @@ def test_warmup_compiles_mixed_step_under_small_cap(engine_setup):
         assert eng.mixed_rounds_run > 0, (
             "warmup never ran the mixed prefill+decode step"
         )
+
+
+def test_mixed_plan_right_sizes_admissions(engine_setup):
+    """_mixed_plan picks the smallest row family covering the admission and
+    an exact npt (whole prompt in one round) unless capped to keep packed
+    matmul rows within the int4 kernel's single 512-row block — padded rows
+    and tokens COMPUTE, so sizing is a throughput invariant (BENCHMARKS r2:
+    wrong-sized steps saturated serving at ~370 tok/s)."""
+    with make_engine(engine_setup, max_batch_size=32,
+                     max_model_len=4096) as eng:
+        chunk = eng.decode_chunk
+        # trickle: 1-2 requests -> 2-row family; npt exact up to the
+        # config/row caps
+        a, npt, c, t_pad = eng._mixed_plan(1, 640)
+        exact = -(-640 // chunk)
+        cap = min(eng.mixed_npt, max(8, (512 - eng.max_batch_size) // 2))
+        assert a == 2 and npt == min(exact, cap)
+        assert t_pad % c == 0 and t_pad >= 640
+        a, npt, c, t_pad = eng._mixed_plan(2, 640)
+        assert a == 2
+        # mid burst -> 4-row family
+        a, npt, c, t_pad = eng._mixed_plan(3, 640)
+        assert a == 4
+        # full burst -> full family
+        a, *_ = eng._mixed_plan(7, 640)
+        assert a == eng._a_bucket
+        # long prompt: npt capped so B + a*npt <= 512 (single row block)
+        a, npt, c, t_pad = eng._mixed_plan(8, 4096)
+        assert eng.max_batch_size + a * npt <= 512
+        assert t_pad >= 4096 and t_pad % c == 0
