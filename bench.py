@@ -106,6 +106,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from chatts_tpu.utils import compile_cache
+
+    cache_dir = compile_cache.enable()
+    log(f"persistent compile cache: {cache_dir}")
+
     from chatts_tpu.core.config import (
         ChatTSConfig,
         QwenConfig,

@@ -515,9 +515,9 @@ def _mixed_attention(
         k = k.reshape(1, tp, kvh, d)
         v = v.reshape(1, tp, kvh, d)
     else:
-        q = _dense(x, p["q_proj"], mesh).reshape(1, tp, h, d)
-        k = _dense(x, p["k_proj"], mesh).reshape(1, tp, kvh, d)
-        v = _dense(x, p["v_proj"], mesh).reshape(1, tp, kvh, d)
+        q = _dense(x, p["q_proj"], mesh, "col").reshape(1, tp, h, d)
+        k = _dense(x, p["k_proj"], mesh, "col").reshape(1, tp, kvh, d)
+        v = _dense(x, p["v_proj"], mesh, "col").reshape(1, tp, kvh, d)
     if cfg.qk_norm:
         q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)

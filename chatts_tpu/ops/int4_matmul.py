@@ -186,9 +186,14 @@ def _plan_tiles(in_dim: int, out_dim: int, group: int, bb: int):
 
 
 def supported(in_dim: int, out_dim: int, group: int = DEFAULT_GROUP) -> bool:
+    # Validate tiling at the LARGEST row block callers use (512: prefill and
+    # mixed-step rows) — a plan that only fits at small bb would pass here
+    # and then raise inside jit at serve time (e.g. group_size=-1 exports
+    # where kb is forced to in_dim).  int4_matmul also degrades bb itself,
+    # so this is belt-and-braces.
     if out_dim % 128 != 0 or in_dim % group != 0 or in_dim % 2 != 0:
         return False
-    kb, nb = _plan_tiles(in_dim, out_dim, group, 16)
+    kb, nb = _plan_tiles(in_dim, out_dim, group, 512)
     return kb > 0 and nb > 0
 
 
@@ -219,6 +224,12 @@ def int4_matmul(
     else:
         bb = 512
     kb, nb = _plan_tiles(in_dim, out_dim, group, bb)
+    # Large-group shapes (e.g. group_size=-1 GPTQ: one group, kb == in_dim)
+    # can fit VMEM only at smaller row blocks: degrade bb instead of raising
+    # inside jit (weights then stream once per row block — slower, correct).
+    while (kb == 0 or nb == 0) and bb > 16:
+        bb = max(16, bb // 2)
+        kb, nb = _plan_tiles(in_dim, out_dim, group, bb)
     if kb == 0 or nb == 0:
         raise ValueError(
             f"int4_matmul: no block tiling for IN={in_dim} OUT={out_dim} G={group}"

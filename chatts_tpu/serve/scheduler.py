@@ -471,11 +471,19 @@ class ServeEngine:
         self._wake = threading.Event()
         # Metrics.
         self.total_requests = 0
-        self.total_output_tokens = 0
+        self.total_output_tokens = 0  # updated at request completion
+        self.streamed_tokens = 0  # updated every round (anatomy accounting)
         self.mixed_rounds_run = 0
         from chatts_tpu.utils.profiling import MetricsAggregator
 
         self.metrics = MetricsAggregator()
+        # Round anatomy ring buffer: one tuple per engine-loop iteration —
+        # (kind, admit_host_s, round_s, live_slots, a, npt, emitted) — the
+        # profiling substrate for the serving-efficiency work (VERDICT r2
+        # item 1).  Cheap to keep always-on.
+        import collections
+
+        self.round_log: "collections.deque" = collections.deque(maxlen=4096)
 
     # -- public API --------------------------------------------------------
 
@@ -730,32 +738,41 @@ class ServeEngine:
             keep_rows.append(i)
         if not admitted:
             return
-        # Mixed admissions are capped at the admission bucket (8 rows: one
-        # compiled shape, staggered TTFTs); overflow goes back to the queue
-        # and admits next round — the first sub-batch is already decoding
-        # while the next one prefills.
-        # The mixed step writes prompt K/V as npt-token span windows; the
-        # padded round bound must fit the cache or a tail window would fall
-        # out of bounds (dropped whole -> lost prompt K/V).  Odd configs
-        # fall back to monolithic admission.
-        # (worst-case family: largest a -> smallest npt cap -> most pad)
-        _, _, _, t_pad_m = self._mixed_plan(
-            self._a_bucket, batch.input_ids.shape[1])
-        spans_fit = t_pad_m <= self.caches[0][0].shape[2]
-        use_mixed = self.mixed_admission and spans_fit and (
+        want_mixed = self.mixed_admission and (
             self.live_host.any()
             or (self.prefill_chunk is not None
                 and batch.input_ids.shape[1] > self.prefill_chunk)
         )
-        if use_mixed and len(admitted) > self._a_bucket:
-            for req in admitted[self._a_bucket:]:
-                self.waiting.put(req)
-            admitted = admitted[: self._a_bucket]
-            batch = self.processor(
-                [req.prompt for req in admitted],
-                [ts for req in admitted for ts in req.timeseries],
-            )
-            keep_rows = list(range(len(admitted)))
+        use_mixed = False
+        if want_mixed:
+            # Mixed admissions are capped at the admission bucket (8 rows:
+            # one compiled shape, staggered TTFTs); overflow goes back to the
+            # queue and admits next round — the first sub-batch is already
+            # decoding while the next one prefills.
+            if len(admitted) > self._a_bucket:
+                for req in admitted[self._a_bucket:]:
+                    self.waiting.put(req)
+                admitted = admitted[: self._a_bucket]
+                keep_rows = keep_rows[: len(admitted)]
+            # The mixed step packs EXACTLY the admitted rows: rejected
+            # candidates leave keep_rows sparse (row indices that can exceed
+            # the admission family), so re-run the processor on the admitted
+            # rows alone whenever the batch rows aren't them already.
+            if keep_rows != list(range(batch.input_ids.shape[0])):
+                batch = self.processor(
+                    [req.prompt for req in admitted],
+                    [ts for req in admitted for ts in req.timeseries],
+                )
+                keep_rows = list(range(len(admitted)))
+            # The mixed step writes prompt K/V as npt-token span windows;
+            # the ACTUAL family's padded round bound must fit the cache or a
+            # tail window would fall out of bounds (dropped whole -> lost
+            # prompt K/V).  Smaller families get a LARGER npt cap, so the
+            # plan must be sized with the real admitted count, not the
+            # worst-case bucket.  Odd configs fall back to monolithic.
+            _, _, _, t_pad_m = self._mixed_plan(
+                len(admitted), batch.input_ids.shape[1])
+            use_mixed = t_pad_m <= self.caches[0][0].shape[2]
         try:
             self._prefill_requests(admitted, free[: len(admitted)], batch,
                                    keep_rows, use_mixed)
@@ -893,6 +910,9 @@ class ServeEngine:
         is pure MXU work, ~13 GFLOP per token at the 8B shape)."""
         kb, t = batch.input_ids.shape
         a, npt, c, t_pad = self._mixed_plan(len(reqs), t)
+        # _admit guarantees the batch rows are exactly the admitted rows
+        # (it re-processes when candidates were rejected), so kb <= a.
+        assert kb == len(reqs) <= a, (kb, len(reqs), a)
 
         input_ids = np.full((a, t_pad), self.processor.pad_token_id, np.int32)
         input_ids[:kb, :t] = batch.input_ids
@@ -1030,6 +1050,7 @@ class ServeEngine:
             if out:
                 req.output_tokens.extend(out)
                 req.stream_queue.put(out)
+                self.streamed_tokens += len(out)
             if finished is None and not live_host[slot]:
                 finished = "length"
             if finished:
@@ -1038,14 +1059,28 @@ class ServeEngine:
     def _loop(self) -> None:
         while not self._stop.is_set():
             try:
+                t0 = time.perf_counter()
                 if self._pending_mixed is None:
                     self._admit()
-                if self._pending_mixed is not None:
+                t_admit = time.perf_counter()
+                st = self._pending_mixed
+                n_live = int(self.live_host.sum())
+                tok0 = self.streamed_tokens
+                if st is not None:
                     # Fused round: decode slots advance AND the admission
                     # consumes its next prompt slice — one device call.
+                    a, npt = st["embeds"].shape[0], st["npt"]
                     self._mixed_round()
+                    self.round_log.append((
+                        "mixed", t_admit - t0,
+                        time.perf_counter() - t_admit, n_live, a, npt,
+                        self.streamed_tokens - tok0))
                 elif self.live_host.any():
                     self._decode_round()
+                    self.round_log.append((
+                        "decode", t_admit - t0,
+                        time.perf_counter() - t_admit, n_live, 0, 0,
+                        self.streamed_tokens - tok0))
                 else:
                     self._wake.wait(timeout=0.05)
                     self._wake.clear()

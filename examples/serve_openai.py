@@ -35,6 +35,10 @@ def main():
 
     import jax
 
+    from chatts_tpu.utils import compile_cache
+
+    compile_cache.enable()  # warm restarts reuse compiled serving shapes
+
     from chatts_tpu.core.config import tiny_config
     from chatts_tpu.models import chatts, weights
     from chatts_tpu.processor.processor import ChatTSProcessor

@@ -447,6 +447,42 @@ def test_mixed_admission_while_decoding_token_exact(engine_setup):
     assert r3.output_tokens == expected(p3, t3, 6)
 
 
+def test_mixed_admission_overlong_cobatch_isolated(engine_setup):
+    """An over-length request co-batched into a MIXED admission must be
+    rejected alone: the valid requests in the wave still admit and finish.
+    Regression (ADVICE r2 high): the admission family was sized from the
+    admitted count while the processed batch still carried the rejected
+    row, so the row copy raised and errored out the whole wave."""
+    import time
+
+    with make_engine(engine_setup, max_model_len=128) as eng:
+        r1 = Request("runner <ts><ts/> decodes", [np.arange(12.0)],
+                     SamplingParams(max_tokens=40, temperature=0.0))
+        eng.submit(r1)
+        deadline = time.time() + 60
+        while not r1.output_tokens:
+            assert time.time() < deadline
+            time.sleep(0.005)
+        good = Request("short one <ts><ts/>", [np.arange(8.0)],
+                       SamplingParams(max_tokens=4, temperature=0.0))
+        bad = Request("x " * 100 + "<ts><ts/>", [np.arange(8.0)],
+                      SamplingParams(max_tokens=200))
+        good2 = Request("short two <ts><ts/>", [np.sin(np.arange(8.0))],
+                        SamplingParams(max_tokens=4, temperature=0.0))
+        # One submit burst so they land in one candidate wave.
+        for r in (good, bad, good2):
+            eng.submit(r)
+        while any(r.finished_s is None and r.error is None
+                  for r in (r1, good, bad, good2)):
+            assert time.time() < deadline, "requests did not finish"
+            time.sleep(0.005)
+    assert bad.error is not None and "max_model_len" in bad.error
+    for r in (r1, good, good2):
+        assert r.error is None, r.error
+    assert len(good.output_tokens) == 4
+    assert len(good2.output_tokens) == 4
+
+
 def test_warmup_compiles_mixed_step_under_small_cap(engine_setup):
     """Warmup must exercise the fused mixed prefill+decode step even when
     max_model_len is small: the warmup runner's token budget has to fit the
