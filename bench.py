@@ -359,17 +359,45 @@ def main():
     time.sleep(4 if tiny else 20)
     with lock:
         finished.clear()
+    engine.round_log.clear()  # anatomy window == measurement window
     base_tokens = engine.total_output_tokens
     window_open.set()
     w0 = time.perf_counter()
     time.sleep(8.0 if tiny else 45.0)
     elapsed = time.perf_counter() - w0
     tokens_out = engine.total_output_tokens - base_tokens
+    round_log_snapshot = list(engine.round_log)  # window-only anatomy
     window_open.clear()
     stop.set()
     gen.join(timeout=10)
 
     agg_tps = tokens_out / elapsed
+
+    # Round anatomy over the measurement window (VERDICT r2 item 1): where
+    # does wall time go — device rounds vs host admission prep — and what do
+    # the mixed families look like.
+    import collections
+
+    rl = round_log_snapshot
+    agg = collections.defaultdict(lambda: [0, 0.0, 0.0, 0, 0])
+    fams = collections.Counter()
+    for kind, admit_s, round_s, live, a, npt, emitted in rl:
+        g = agg[kind]
+        g[0] += 1
+        g[1] += admit_s
+        g[2] += round_s
+        g[3] += emitted
+        g[4] += live
+        if kind == "mixed":
+            fams[(a, npt)] += 1
+    for kind, (n, adm, rnd, emit, live) in sorted(agg.items()):
+        log(f"anatomy[{kind}]: n={n} admit_host={adm:.2f}s round={rnd:.2f}s "
+            f"({rnd / max(n, 1) * 1e3:.0f} ms/round) emitted={emit} "
+            f"mean_live={live / max(n, 1):.1f}")
+    log(f"anatomy mixed families (a, npt): {dict(fams)}")
+    covered = sum(g[1] + g[2] for g in agg.values())
+    log(f"anatomy: rounds cover {covered:.1f}s of {elapsed:.1f}s window "
+        f"(gap {elapsed - covered:.1f}s = loop host work outside rounds)")
     with lock:
         ttfts = [r.ttft_s for r in admitted_during_window
                  if r.ttft_s is not None]

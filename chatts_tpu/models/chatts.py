@@ -116,6 +116,7 @@ def forward(
     kv_positions=None,
     attn_impl: str = "auto",
     mesh=None,
+    act_int8: bool = False,
 ):
     """Full forward: merge-embed -> decoder -> hidden states.
 
@@ -128,7 +129,7 @@ def forward(
         params["llm"], cfg.llm, embeds, positions,
         kv_caches=kv_caches, write_pos=write_pos,
         kv_valid=kv_valid, kv_positions=kv_positions, attn_impl=attn_impl,
-        mesh=mesh,
+        mesh=mesh, act_int8=act_int8,
     )
 
 

@@ -74,8 +74,25 @@ def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
+def _quantize_acts(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-token (row) symmetric int8 activation quantization.
+    x (..., K) -> (int8 values, float32 scales (...,))."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
 def _dense(x: jnp.ndarray, layer: Dict[str, jnp.ndarray],
-           mesh=None, tp_kind: str = "") -> jnp.ndarray:
+           mesh=None, tp_kind: str = "", act_int8: bool = False) -> jnp.ndarray:
+    """Quantized-weight-aware dense.  act_int8=True additionally quantizes
+    the ACTIVATIONS per token to int8 so the matmul runs on the v5e MXU's
+    int8 path (2x bf16 TOPS) — the prefill FLOP-floor lever (VERDICT r2
+    item 2).  Decode-side callers leave it off (decode is HBM-bound and
+    sensitive to per-step rounding).  Applies to the quantized single-device
+    paths; bf16 weights and mesh-sharded layers keep their existing dots."""
     if "kernel_q4" in layer:
         # Weight-only int4 (nibble-packed, group scales): XLA cannot fuse
         # the unpack into a dot, so this routes through the Pallas matmul
@@ -93,7 +110,13 @@ def _dense(x: jnp.ndarray, layer: Dict[str, jnp.ndarray],
         in_dim = x2.shape[1]
         out_dim = layer["kernel_q4"].shape[1]
         group = in_dim // layer["scales4"].shape[0]
-        if mesh is None and on_tpu:
+        if mesh is None and (on_tpu or interp) and act_int8:
+            xq, xs = _quantize_acts(x2)
+            y = i4.int4_matmul_a8(xq, xs, layer["kernel_q4"],
+                                  layer["scales4"], out_dtype=x.dtype,
+                                  interpret=interp)
+            out = y.astype(jnp.float32)
+        elif mesh is None and on_tpu:
             y = i4.int4_matmul(x2, layer["kernel_q4"], layer["scales4"])
             out = y.astype(jnp.float32)
         elif (mesh is not None and (on_tpu or interp) and tp_kind
@@ -108,12 +131,24 @@ def _dense(x: jnp.ndarray, layer: Dict[str, jnp.ndarray],
             out = jnp.dot(x2, w, preferred_element_type=jnp.float32)
         out = out.reshape(*lead, out.shape[-1])
     elif "kernel_q" in layer:
-        # Weight-only int8: the int8->bf16 convert fuses into the dot's HBM
-        # read; per-output-channel scales applied post-matmul (exact).
-        out = jnp.dot(
-            x, layer["kernel_q"].astype(x.dtype),
-            preferred_element_type=jnp.float32,
-        ) * layer["scales"]
+        if act_int8:
+            # int8 x int8 -> int32 on the MXU (native 2x-TOPS path); exact
+            # per-output-channel weight scales + per-token act scales after.
+            xq, xs = _quantize_acts(x)
+            out = (
+                jax.lax.dot_general(
+                    xq, layer["kernel_q"], (((xq.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+                * xs[..., None] * layer["scales"]
+            )
+        else:
+            # Weight-only int8: the int8->bf16 convert fuses into the dot's
+            # HBM read; per-output-channel scales applied post-matmul.
+            out = jnp.dot(
+                x, layer["kernel_q"].astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            ) * layer["scales"]
     else:
         out = jnp.dot(x, layer["kernel"], preferred_element_type=jnp.float32)
     if "bias" in layer:
@@ -139,6 +174,7 @@ def attention_block(
     rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     kv_limit: Optional[int] = None,
     mesh=None,
+    act_int8: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     b, t, _ = x.shape
     h, kvh, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -149,15 +185,15 @@ def attention_block(
         # packing the reference delegates to vLLM's packed_modules_mapping,
         # chatts_vllm.py:454-459).  Single-device layout: [q | k | v] along
         # the output dim.
-        qkv = _dense(x, p["qkv_proj"], mesh, "col")
+        qkv = _dense(x, p["qkv_proj"], mesh, "col", act_int8)
         q, k, v = jnp.split(qkv, [h * d, h * d + kvh * d], axis=-1)
         q = q.reshape(b, t, h, d)
         k = k.reshape(b, t, kvh, d)
         v = v.reshape(b, t, kvh, d)
     else:
-        q = _dense(x, p["q_proj"], mesh, "col").reshape(b, t, h, d)
-        k = _dense(x, p["k_proj"], mesh, "col").reshape(b, t, kvh, d)
-        v = _dense(x, p["v_proj"], mesh, "col").reshape(b, t, kvh, d)
+        q = _dense(x, p["q_proj"], mesh, "col", act_int8).reshape(b, t, h, d)
+        k = _dense(x, p["k_proj"], mesh, "col", act_int8).reshape(b, t, kvh, d)
+        v = _dense(x, p["v_proj"], mesh, "col", act_int8).reshape(b, t, kvh, d)
 
     if cfg.qk_norm:
         q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
@@ -314,7 +350,7 @@ def attention_block(
                         scale=d ** -0.5, interpret=interp,
                     )[:, None]
             out = out.reshape(b, t, h * d)
-            return _dense(out, p["o_proj"], mesh, "row"), new_cache
+            return _dense(out, p["o_proj"], mesh, "row", act_int8), new_cache
         # Fallback: einsum reference over the (B, KVH, S, D) cache view,
         # dequantizing first in int8 mode.
         if int8_attend:
@@ -338,18 +374,20 @@ def attention_block(
         impl=attn_impl,
     )
     out = out.reshape(b, t, h * d)
-    return _dense(out, p["o_proj"], mesh, "row"), new_cache
+    return _dense(out, p["o_proj"], mesh, "row", act_int8), new_cache
 
 
 def mlp_block(layer_params: Dict[str, Any], x: jnp.ndarray,
-              mesh=None) -> jnp.ndarray:
+              mesh=None, act_int8: bool = False) -> jnp.ndarray:
     if "gate_up_proj" in layer_params:
-        gate_up = _dense(x, layer_params["gate_up_proj"], mesh, "col")
+        gate_up = _dense(x, layer_params["gate_up_proj"], mesh, "col",
+                         act_int8)
         gate, up = jnp.split(gate_up, 2, axis=-1)
     else:
-        gate = _dense(x, layer_params["gate_proj"], mesh, "col")
-        up = _dense(x, layer_params["up_proj"], mesh, "col")
-    return _dense(jax.nn.silu(gate) * up, layer_params["down_proj"], mesh, "row")
+        gate = _dense(x, layer_params["gate_proj"], mesh, "col", act_int8)
+        up = _dense(x, layer_params["up_proj"], mesh, "col", act_int8)
+    return _dense(jax.nn.silu(gate) * up, layer_params["down_proj"], mesh,
+                  "row", act_int8)
 
 
 def decoder_layer(
@@ -366,16 +404,17 @@ def decoder_layer(
     rope=None,
     kv_limit=None,
     mesh=None,
+    act_int8: bool = False,
 ):
     attn_in = rms_norm(x, layer_params["input_layernorm"], cfg.rms_norm_eps)
     attn_out, new_cache = attention_block(
         layer_params["self_attn"], attn_in, positions, cfg,
         kv_cache, write_pos, kv_valid, kv_positions, attn_impl, kv_lengths,
-        rope, kv_limit, mesh,
+        rope, kv_limit, mesh, act_int8,
     )
     x = x + attn_out
     mlp_in = rms_norm(x, layer_params["post_attention_layernorm"], cfg.rms_norm_eps)
-    x = x + mlp_block(layer_params["mlp"], mlp_in, mesh)
+    x = x + mlp_block(layer_params["mlp"], mlp_in, mesh, act_int8)
     return x, new_cache
 
 
@@ -705,6 +744,7 @@ def forward(
     kv_lengths: Optional[jnp.ndarray] = None,
     kv_limit: Optional[int] = None,
     mesh=None,
+    act_int8: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[List[Tuple[jnp.ndarray, jnp.ndarray]]]]:
     """Run the decoder stack. Returns (hidden (B,T,H), updated kv caches).
 
@@ -730,7 +770,7 @@ def forward(
         x, new_cache = decoder_layer(
             layer_params, x, positions, cfg,
             cache_i, write_pos, kv_valid, kv_positions, attn_impl, kv_lengths,
-            rope, kv_limit, mesh,
+            rope, kv_limit, mesh, act_int8,
         )
         if new_caches is not None:
             new_caches.append(new_cache)

@@ -78,6 +78,7 @@ def _prefill_batch(
     params,
     cfg: ChatTSConfig,
     attn_impl: str,
+    act_int8: bool,
     caches,  # persistent big caches, donated
     inv_ids,  # (B,) int32 — prefill row that owns big-cache slot b (0 if none)
     slot_mask,  # (B,) bool — slot b receives a freshly prefilled row
@@ -130,7 +131,7 @@ def _prefill_batch(
         params["llm"], cfg.llm, embeds, positions,
         kv_caches=small_caches, write_pos=None,
         kv_valid=kv_valid, kv_positions=kv_positions,
-        attn_impl=attn_impl, mesh=mesh,
+        attn_impl=attn_impl, mesh=mesh, act_int8=act_int8,
     )
     # Place each row's prompt K/V into its slot (first t positions only):
     # gather prefill rows into slot order, select against the old content,
@@ -373,6 +374,7 @@ class ServeEngine:
         prefill_chunk: Optional[int] = None,
         mixed_admission: bool = True,
         mixed_npt: int = 64,
+        prefill_act_int8: bool = False,
     ):
         if fuse:
             params = chatts.maybe_fuse(params)
@@ -400,6 +402,9 @@ class ServeEngine:
         # decode scan step.
         self.mixed_admission = mixed_admission
         self.mixed_npt = mixed_npt
+        # int8xint8 prompt-side matmuls (v5e MXU 2x TOPS): halves the
+        # FLOP floor of monolithic admission prefill.  Decode stays bf16.
+        self.prefill_act_int8 = prefill_act_int8
         self._a_bucket = min(8, max_batch_size)
         self.attn_impl = attn_impl
         self.eos_token_ids = tuple(eos_token_ids)
@@ -434,7 +439,7 @@ class ServeEngine:
 
         self._prefill_jit = jax.jit(
             _prefill_batch,
-            static_argnames=("cfg", "attn_impl", "mesh"),
+            static_argnames=("cfg", "attn_impl", "act_int8", "mesh"),
             donate_argnames=("caches",),
         )
         # Mesh-aware decode: TP/DP-sharded params route the ragged
@@ -512,12 +517,14 @@ class ServeEngine:
             holes = " ".join(encoding.TS_PAIR for _ in range(series_per_request))
             prompt = f"{words} {holes}"
             # Full burst compiles the max-row admission shape; the trailing
-            # small bursts compile the 8-row and 2-row shapes used for
+            # small bursts compile the 8-, 2- and 1-row shapes used for
             # trickle / single-request traffic.
             bursts = [self.max_batch_size]
             if self.max_batch_size > 8:
                 bursts.append(4)
             if self.max_batch_size > 2:
+                bursts.append(2)
+            if self.max_batch_size > 1:
                 bursts.append(1)
             for burst in bursts:
                 reqs = []
@@ -597,7 +604,7 @@ class ServeEngine:
             # Every admission-row family: the full bucket (bursts) plus the
             # 4- and 2-row families (steady-state trickle replacements).
             for rows in sorted({self._a_bucket, min(4, self._a_bucket),
-                                min(2, self._a_bucket)}, reverse=True):
+                                min(2, self._a_bucket), 1}, reverse=True):
                 if not ensure_runner():
                     return
                 words = " ".join("warm" for _ in range(max(1, bucket - 64)))
@@ -791,9 +798,12 @@ class ServeEngine:
         t = batch.input_ids.shape[1]
         # Admission-row buckets: padded rows COMPUTE, so bucket tightly —
         # a single request padded to 8 rows pays 8x its prefill FLOPs
-        # (~470 ms vs ~120 ms at the 8B shape).  Three compiled shapes per
-        # token bucket: {2, 8, full}.
-        if kb <= 2 and self.max_batch_size > 2:
+        # (~470 ms vs ~120 ms at the 8B shape), and a single padded to 2
+        # still pays 2x (the dominant term in isolated TTFT).  Four
+        # compiled shapes per token bucket: {1, 2, 8, full}.
+        if kb <= 1 and self.max_batch_size > 1:
+            bp = 1
+        elif kb <= 2 and self.max_batch_size > 2:
             bp = 2
         elif kb <= 8 and self.max_batch_size > 8:
             bp = 8
@@ -821,7 +831,8 @@ class ServeEngine:
 
         self.rng, key = jax.random.split(self.rng)
         self.caches, first = self._prefill_jit(
-            self.params, self.cfg, self.attn_impl, self.caches,
+            self.params, self.cfg, self.attn_impl, self.prefill_act_int8,
+            self.caches,
             jnp.asarray(inv_ids),
             jnp.asarray(slot_mask),
             jnp.asarray(input_ids),
@@ -883,8 +894,14 @@ class ServeEngine:
 
         a is the smallest family covering the admitted rows; npt is exact
         (whole prompt in one round) unless capped to keep the packed matmul
-        rows (B + a*npt) within the int4 kernel's 512-row single block."""
-        a = 2 if n_reqs <= 2 else (4 if n_reqs <= 4 else self._a_bucket)
+        rows (B + a*npt) within the int4 kernel's 512-row single block.
+
+        The 1-row family matters at steady state: most replacement
+        admissions are singles (requests finish one at a time), and a
+        single padded to 2 rows pays 2x its prompt FLOPs (pad rows
+        COMPUTE)."""
+        a = (1 if n_reqs <= 1 else 2 if n_reqs <= 2
+             else 4 if n_reqs <= 4 else self._a_bucket)
         npt_cap = max(8, (512 - self.max_batch_size) // a)
         npt = min(-(-t // self.decode_chunk), npt_cap, self.mixed_npt)
         c = self.decode_chunk * npt
@@ -955,11 +972,14 @@ class ServeEngine:
             "last_hidden": jnp.zeros((a, hdim), jnp.float32),
         }
 
-    def _mixed_round(self) -> None:
-        """One fused serving round: all decode slots advance decode_chunk
-        steps AND the pending admission consumes decode_chunk*mixed_npt
-        prompt tokens — a single jit'd executable, so admission never
-        blocks decode (VERDICT r1 item 1)."""
+    def _dispatch_mixed(self):
+        """Dispatch one fused serving round WITHOUT blocking: all decode
+        slots advance decode_chunk steps AND the pending admission consumes
+        decode_chunk*npt prompt tokens — a single jit'd executable, so
+        admission never blocks decode (VERDICT r1 item 1).  When this round
+        consumes the admission's last prompt chunk, the pending slot is
+        cleared immediately so the NEXT admission's host prep can overlap
+        this round on the device."""
         st = self._pending_mixed
         npt = st["npt"]
         c = self.decode_chunk * npt
@@ -983,17 +1003,27 @@ class ServeEngine:
         )
         st["o"] = o + c
         self.mixed_rounds_run += 1
+        finalize = None
+        if st["o"] >= st["t_pad"]:
+            finalize = st
+            self._pending_mixed = None
+        return ("mixed", packed, finalize, st["embeds"].shape[0], npt)
+
+    def _complete_round(self, handle) -> None:
+        """Block on the dispatched round's packed result and apply it; for
+        the final chunk of an admission, sample the first tokens and
+        activate the admitted slots."""
+        kind, packed, finalize = handle[0], handle[1], handle[2]
         arr = np.asarray(packed)
         self._process_emitted(arr[:, :-1], arr[:, -1].astype(bool))
-        if st["o"] < st["t_pad"]:
-            return
-        first = self._sample_first_jit(
-            self.params, self.cfg, st["last_hidden"], st["temp"], st["topp"],
-            st["key"], mesh=self.mesh,
-        )
-        self._pending_mixed = None
-        self._finalize_admission(st["reqs"], st["slots"], st["keep_rows"],
-                                 first)
+        if finalize is not None:
+            st = finalize
+            first = self._sample_first_jit(
+                self.params, self.cfg, st["last_hidden"], st["temp"],
+                st["topp"], st["key"], mesh=self.mesh,
+            )
+            self._finalize_admission(st["reqs"], st["slots"],
+                                     st["keep_rows"], first)
 
     def _finish(self, slot: int, reason: str) -> None:
         req = self.slots[slot]
@@ -1013,11 +1043,7 @@ class ServeEngine:
             self._active_key = key
         return self._active_dev
 
-    def _decode_round(self) -> None:
-        # Honor cancellations before spending device time.
-        for slot, req in enumerate(self.slots):
-            if req is not None and req.cancelled and self.live_host[slot]:
-                self._finish(slot, "cancelled")
+    def _dispatch_decode(self):
         active = self._active_device()
         (
             self.caches, self.tokens, self.cur_lens, self.budget,
@@ -1030,8 +1056,19 @@ class ServeEngine:
             self._eos_dev, self.budget, self.rng,
             mesh=self.mesh,
         )
-        arr = np.asarray(packed)
-        self._process_emitted(arr[:, :-1], arr[:, -1].astype(bool))
+        return ("decode", packed, None, 0, 0)
+
+    def _dispatch_round(self):
+        """Dispatch the next device round (non-blocking); None when idle."""
+        # Honor cancellations before spending device time.
+        for slot, req in enumerate(self.slots):
+            if req is not None and req.cancelled and self.live_host[slot]:
+                self._finish(slot, "cancelled")
+        if self._pending_mixed is not None:
+            return self._dispatch_mixed()
+        if self.live_host.any():
+            return self._dispatch_decode()
+        return None
 
     def _process_emitted(self, emitted_host: np.ndarray,
                          live_host: np.ndarray) -> None:
@@ -1057,31 +1094,33 @@ class ServeEngine:
                 self._finish(slot, finished)
 
     def _loop(self) -> None:
+        """Pipelined engine loop: dispatch the device round FIRST (JAX
+        dispatch is async), then do the next admission's host prep
+        (processor, embeds, staging uploads) while the round runs on
+        device, then block on the round's result.  Double-buffered
+        admissions — at steady state the device never idles on admission
+        host work (VERDICT r2 item 1)."""
         while not self._stop.is_set():
             try:
                 t0 = time.perf_counter()
-                if self._pending_mixed is None:
-                    self._admit()
-                t_admit = time.perf_counter()
-                st = self._pending_mixed
                 n_live = int(self.live_host.sum())
                 tok0 = self.streamed_tokens
-                if st is not None:
-                    # Fused round: decode slots advance AND the admission
-                    # consumes its next prompt slice — one device call.
-                    a, npt = st["embeds"].shape[0], st["npt"]
-                    self._mixed_round()
+                handle = self._dispatch_round()
+                t_disp = time.perf_counter()
+                if self._pending_mixed is None:
+                    # Overlaps the in-flight round.  Slots freed by that
+                    # round aren't visible yet (their results are still on
+                    # device) — they become admissible next iteration.
+                    self._admit()
+                t_admit = time.perf_counter()
+                if handle is not None:
+                    self._complete_round(handle)
                     self.round_log.append((
-                        "mixed", t_admit - t0,
-                        time.perf_counter() - t_admit, n_live, a, npt,
+                        handle[0], t_admit - t_disp,
+                        time.perf_counter() - t0 - (t_admit - t_disp),
+                        n_live, handle[3], handle[4],
                         self.streamed_tokens - tok0))
-                elif self.live_host.any():
-                    self._decode_round()
-                    self.round_log.append((
-                        "decode", t_admit - t0,
-                        time.perf_counter() - t_admit, n_live, 0, 0,
-                        self.streamed_tokens - tok0))
-                else:
+                elif self._pending_mixed is None and not self.live_host.any():
                     self._wake.wait(timeout=0.05)
                     self._wake.clear()
             except Exception as err:  # engine must survive a bad step:

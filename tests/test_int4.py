@@ -69,6 +69,48 @@ def test_kernel_interpret_matches_reference():
                                rtol=2e-2, atol=2e-2)
 
 
+def test_kernel_a8_interpret_matches_reference():
+    """The int8-activation kernel (interpret mode) == quantize-acts +
+    dequant-weights + dot, within int8 rounding tolerance."""
+    from chatts_tpu.models.qwen import _quantize_acts
+
+    rng = jax.random.PRNGKey(5)
+    kw, kx = jax.random.split(rng)
+    w = jax.random.normal(kw, (384, 256), jnp.float32) / 20.0
+    x = jax.random.normal(kx, (9, 384), jnp.float32)
+    packed, scales = i4.pack_int4(w)
+    xq, xs = _quantize_acts(x)
+    ref = (jnp.dot(xq.astype(jnp.float32), i4.dequantize(packed, scales))
+           * xs[:, None])
+    got = i4.int4_matmul_a8(xq, xs, packed, scales, out_dtype=jnp.float32,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    # ... and against the full-precision product: bounded quantization error
+    full = jnp.dot(x, i4.dequantize(packed, scales))
+    err = np.abs(np.asarray(got) - np.asarray(full))
+    assert np.median(err / (np.abs(np.asarray(full)) + 1e-3)) < 0.05
+
+
+def test_act_int8_forward_close_to_bf16():
+    """qwen.forward(act_int8=True) on a quantized tiny model stays close to
+    the weight-only path — the accuracy gate for int8-activation prefill."""
+    from chatts_tpu.models import qwen as qw
+
+    cfg, params = _tiny()
+    qparams = quantize.quantize_params(params, bits=8)
+    b, t = 2, 24
+    ids = jax.random.randint(jax.random.PRNGKey(3), (b, t), 0, 200)
+    emb = qw.embed_tokens(qparams["llm"], ids)
+    pos = jnp.tile(jnp.arange(t)[None], (b, 1))
+    h_ref, _ = qw.forward(qparams["llm"], cfg.llm, emb, pos, attn_impl="xla")
+    h_a8, _ = qw.forward(qparams["llm"], cfg.llm, emb, pos, attn_impl="xla",
+                         act_int8=True)
+    rel = (np.linalg.norm(np.asarray(h_a8 - h_ref))
+           / np.linalg.norm(np.asarray(h_ref)))
+    assert rel < 0.05, rel
+
+
 def _tiny():
     cfg = tiny_config(vocab_size=256, hidden_size=128, intermediate_size=256,
                       num_hidden_layers=2, num_attention_heads=4,

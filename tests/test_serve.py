@@ -506,12 +506,13 @@ def test_mixed_plan_right_sizes_admissions(engine_setup):
     with make_engine(engine_setup, max_batch_size=32,
                      max_model_len=4096) as eng:
         chunk = eng.decode_chunk
-        # trickle: 1-2 requests -> 2-row family; npt exact up to the
-        # config/row caps
+        # trickle: singles get the 1-row family (steady-state replacements
+        # are mostly singles; pad rows COMPUTE), pairs the 2-row family;
+        # npt exact up to the config/row caps
         a, npt, c, t_pad = eng._mixed_plan(1, 640)
         exact = -(-640 // chunk)
-        cap = min(eng.mixed_npt, max(8, (512 - eng.max_batch_size) // 2))
-        assert a == 2 and npt == min(exact, cap)
+        cap = min(eng.mixed_npt, max(8, (512 - eng.max_batch_size) // 1))
+        assert a == 1 and npt == min(exact, cap)
         assert t_pad % c == 0 and t_pad >= 640
         a, npt, c, t_pad = eng._mixed_plan(2, 640)
         assert a == 2
