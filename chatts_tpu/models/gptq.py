@@ -80,15 +80,24 @@ def has_gptq_tensors(sd, name: str) -> bool:
 
 def to_native_int4(sd, name: str):
     """Losslessly convert the GPTQ linear at ``name`` to the first-party
-    int4 layout (ops/int4_matmul.py): returns {'kernel_q4', 'scales4'} or
-    None when the conversion cannot be exact / tileable.
+    int4 serving layout (ops/int4_matmul.py): returns {'kernel_q4',
+    'scales4'[, 'zeros4'][, 'perm4']} or None when the shape cannot tile.
 
-    Exactness requires symmetric zero-points (all zeros == 8, the common
-    ``sym=True`` GPTQ export) and trivial ``g_idx`` (no desc_act row
-    reorder): then W = scale * (code - 8) with code-8 in [-8, 7], which the
-    Pallas kernel's signed-int4 view represents exactly — no dequant/requant
-    round trip, unlike the host-dequant path (reference GPTQ serving:
-    README.md:260-263)."""
+    All three published export styles land on the native kernel EXACTLY
+    (reference GPTQ serving: README.md:260-263):
+
+    - symmetric (all zeros == 8, the ``sym=True`` export): W = s*(code-8),
+      code-8 in [-8, 7] — the kernel's signed-int4 view, no correction.
+    - asymmetric zero-points: W = s*(code-z) = s*(code-8) + s*(8-z); the
+      second term depends only on the GROUP-SUM of the activations, so it
+      is applied outside the kernel as a rank-G matmul with
+      ``zeros4[g, o] = s[g, o] * (8 - z[g, o])`` (qwen._dense) — exact, no
+      dequant->requant round trip.
+    - desc_act (non-trivial ``g_idx``): rows are permuted so each group's
+      inputs are contiguous (GPTQ groups are balanced by construction);
+      ``perm4`` records the input permutation the activations must follow
+      at run time (one cheap column gather per matmul).
+    """
     import jax.numpy as jnp
 
     from chatts_tpu.ops import int4_matmul as i4
@@ -96,25 +105,36 @@ def to_native_int4(sd, name: str):
     qweight = np.asarray(sd[name + ".qweight"])
     qzeros = np.asarray(sd[name + ".qzeros"])
     scales = np.asarray(sd[name + ".scales"], np.float32)
-    zeros = unpack_int4(qzeros, axis=1) + 1
-    if not np.all(zeros == 8):
-        return None  # asymmetric quantization: requires a dequant round trip
+    zeros = unpack_int4(qzeros, axis=1) + 1  # (groups, out)
     codes = unpack_int4(qweight, axis=0)  # (in, out)
     in_dim, out_dim = codes.shape
     groups = scales.shape[0]
     if in_dim % groups != 0:
         return None
     group_size = in_dim // groups
+    perm = None
     if name + ".g_idx" in sd:
         g_idx = np.asarray(sd[name + ".g_idx"])
         if not np.array_equal(g_idx, np.arange(in_dim) // group_size):
-            return None  # desc_act reorder: fall back to host dequant
+            # desc_act: sort inputs into contiguous groups.  GPTQ groups
+            # are balanced (each has exactly group_size members) — verify,
+            # since the kernel's block layout requires it.
+            counts = np.bincount(g_idx, minlength=groups)
+            if not np.all(counts == group_size):
+                return None
+            perm = np.argsort(g_idx, kind="stable").astype(np.int32)
+            codes = codes[perm]
     if not i4.supported(in_dim, out_dim, group_size):
         return None
     packed, scales4 = i4.pack_from_int4_values(
         jnp.asarray(codes - 8, jnp.int8), jnp.asarray(scales)
     )
-    return {"kernel_q4": packed, "scales4": scales4}
+    out = {"kernel_q4": packed, "scales4": scales4}
+    if not np.all(zeros == 8):
+        out["zeros4"] = jnp.asarray(scales * (8.0 - zeros), jnp.float32)
+    if perm is not None:
+        out["perm4"] = jnp.asarray(perm)
+    return out
 
 
 def load_gptq_kernel(sd, name: str) -> np.ndarray:

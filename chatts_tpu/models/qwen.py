@@ -105,12 +105,22 @@ def _dense(x: jnp.ndarray, layer: Dict[str, jnp.ndarray],
 
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
+        if "perm4" in layer:
+            # desc_act GPTQ import: weight rows were sorted into contiguous
+            # groups at load; activations follow with one column gather.
+            x2 = jnp.take(x2, layer["perm4"], axis=1)
         interp = i4.interpret_enabled()
         on_tpu = jax.default_backend() == "tpu"
         in_dim = x2.shape[1]
         out_dim = layer["kernel_q4"].shape[1]
         group = in_dim // layer["scales4"].shape[0]
-        if mesh is None and (on_tpu or interp) and act_int8:
+        if mesh is not None and ("zeros4" in layer or "perm4" in layer):
+            # Asym/desc_act under a mesh: plain XLA dequant+dot (GSPMD
+            # shards it); the kernel's shard_map wrapper doesn't thread
+            # the extras.  Single-device serving stays on the kernel.
+            w = i4.dequantize(layer["kernel_q4"], layer["scales4"], x.dtype)
+            out = jnp.dot(x2, w, preferred_element_type=jnp.float32)
+        elif mesh is None and (on_tpu or interp) and act_int8:
             xq, xs = _quantize_acts(x2)
             y = i4.int4_matmul_a8(xq, xs, layer["kernel_q4"],
                                   layer["scales4"], out_dtype=x.dtype,
@@ -129,6 +139,19 @@ def _dense(x: jnp.ndarray, layer: Dict[str, jnp.ndarray],
         else:
             w = i4.dequantize(layer["kernel_q4"], layer["scales4"], x.dtype)
             out = jnp.dot(x2, w, preferred_element_type=jnp.float32)
+        if "zeros4" in layer:
+            # Asymmetric GPTQ zero-points, applied EXACTLY outside the
+            # kernel: W = s*(code-8) + s*(8-z), and the second term only
+            # needs each group's activation sum — a rank-G matmul
+            # ((R, G) @ (G, OUT), G = IN/group ~ 28-148) on top of the
+            # signed-symmetric kernel product.
+            g = layer["zeros4"].shape[0]
+            rs = jnp.sum(
+                x2.astype(jnp.float32).reshape(x2.shape[0], g, in_dim // g),
+                axis=-1,
+            )
+            out = out + jnp.dot(rs, layer["zeros4"],
+                                preferred_element_type=jnp.float32)
         out = out.reshape(*lead, out.shape[-1])
     elif "kernel_q" in layer:
         if act_int8:

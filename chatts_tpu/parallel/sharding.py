@@ -26,6 +26,9 @@ def _col_specs() -> Dict[str, Any]:
         "kernel": P(None, MODEL_AXIS), "bias": P(MODEL_AXIS),
         "kernel_q": P(None, MODEL_AXIS), "scales": P(MODEL_AXIS),
         "kernel_q4": P(None, MODEL_AXIS), "scales4": P(None, MODEL_AXIS),
+        # GPTQ asym/desc_act extras: group zero-bias shards with the out
+        # dim; the input permutation replicates.
+        "zeros4": P(None, MODEL_AXIS), "perm4": P(),
     }
 
 
@@ -36,6 +39,7 @@ def _row_specs() -> Dict[str, Any]:
         "kernel": P(MODEL_AXIS, None),
         "kernel_q": P(MODEL_AXIS, None), "scales": P(),
         "kernel_q4": P(MODEL_AXIS, None), "scales4": P(MODEL_AXIS, None),
+        "zeros4": P(MODEL_AXIS, None), "perm4": P(),
     }
 
 

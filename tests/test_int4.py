@@ -206,7 +206,10 @@ def test_gptq_symmetric_converts_losslessly():
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
 
 
-def test_gptq_asymmetric_returns_none():
+def test_gptq_asymmetric_converts_with_zero_bias():
+    """Asymmetric exports now land on the native layout with a zeros4
+    correction term instead of returning None (r3; see test_gptq.py for the
+    end-to-end exactness checks)."""
     rng = np.random.default_rng(4)
     in_f, out_f, groups = 256, 128, 2
     codes = rng.integers(0, 16, size=(in_f, out_f), dtype=np.int32)
@@ -217,7 +220,10 @@ def test_gptq_asymmetric_returns_none():
         "w.qzeros": gptq.pack_int4(zeros - 1, axis=1),
         "w.scales": np.ones((groups, out_f), np.float32),
     }
-    assert gptq.to_native_int4(sd, "w") is None
+    out = gptq.to_native_int4(sd, "w")
+    assert out is not None and "zeros4" in out
+    np.testing.assert_allclose(
+        np.asarray(out["zeros4"]), (8.0 - zeros).astype(np.float32))
 
 
 def test_load_checkpoint_quantize_bits4(tmp_path):
