@@ -513,6 +513,161 @@ CATALOG: List[Tuple[str, str, Dict[str, List[tuple]]]] = [
                            ("Retention Rate", "percent"),
                            ("Feed Load Latency", "latency", 250)],
     }),
+    ("Industrial IoT", "minute", {
+        "Sensor Metrics": [("Bearing Vibration RMS", "volatile", 6),
+                           ("Acoustic Emission Level", "volatile", 70),
+                           ("Shaft Rotation Speed", "gauge", 1800),
+                           ("Coolant Flow Rate", "rate", 60),
+                           ("Lubricant Particle Count", "queue", 500),
+                           ("Sensor Battery Level", "percent_steady")],
+        "Process Metrics": [("Furnace Temperature", "level", 950),
+                            ("Reactor Pressure", "gauge", 12),
+                            ("Conveyor Load", "percent"),
+                            ("Valve Open Position", "percent"),
+                            ("Steam Flow", "rate", 40)],
+        "Connectivity Metrics": [("Gateway Uplink Rate", "rate", 200),
+                                 ("Telemetry Drop Count", "error", 30),
+                                 ("Device Heartbeat Misses", "error", 15),
+                                 ("OTA Update Failures", "error", 8),
+                                 ("Edge Buffer Backlog", "queue", 2000),
+                                 ("Packet Retry Ratio", "error", 10)],
+    }),
+    ("Oil & Gas", "minute", {
+        "Production Metrics": [("Wellhead Pressure", "gauge", 250),
+                               ("Oil Flow Rate", "rate", 800),
+                               ("Gas Flow Rate", "rate", 1500),
+                               ("Water Cut", "percent"),
+                               ("Choke Valve Opening", "percent")],
+        "Pipeline Metrics": [("Pipeline Pressure", "gauge", 70),
+                             ("Pipeline Flow", "rate", 2000),
+                             ("Pump Station Power", "rate", 900),
+                             ("Leak Detection Alarms", "error", 5),
+                             ("Pig Run Duration", "latency", 7200)],
+        "Refinery Metrics": [("Distillation Column Temperature", "level", 350),
+                             ("Catalyst Activity Index", "percent_steady"),
+                             ("Flare Gas Volume", "error", 300),
+                             ("Throughput Barrels", "rate", 5000),
+                             ("Sulfur Content", "gauge", 0.5)],
+    }),
+    ("Water Treatment", "hour", {
+        "Intake Metrics": [("Raw Water Turbidity", "queue", 40),
+                           ("Intake Flow Rate", "rate", 1200),
+                           ("Reservoir Level", "percent_steady"),
+                           ("Raw Water pH", "gauge", 7.2)],
+        "Process Metrics": [("Chlorine Dosage", "level", 2),
+                            ("Filter Head Loss", "percent_steady"),
+                            ("Membrane Differential Pressure", "percent_steady"),
+                            ("Backwash Frequency", "error", 6),
+                            ("Coagulant Feed Rate", "rate", 50),
+                            ("UV Transmittance", "hit_ratio"),
+                            ("Ozone Generator Output", "level", 3)],
+        "Distribution Metrics": [("Distribution Pressure", "gauge", 5),
+                                 ("Pump Energy Use", "rate", 300),
+                                 ("Main Break Events", "error", 3),
+                                 ("Residual Chlorine", "gauge", 0.8),
+                                 ("Non-Revenue Water Ratio", "percent")],
+    }),
+    ("Renewable Energy Plant", "minute", {
+        "Solar Metrics": [("Array Irradiance", "level", 900),
+                          ("Inverter Output Power", "level", 2000),
+                          ("Panel Temperature", "level", 45),
+                          ("Inverter Efficiency", "hit_ratio"),
+                          ("String Current Imbalance", "error", 10)],
+        "Wind Metrics": [("Turbine Power Output", "volatile", 3000),
+                         ("Rotor Speed", "volatile", 15),
+                         ("Blade Pitch Angle", "level", 20),
+                         ("Gearbox Oil Temperature", "level", 65),
+                         ("Nacelle Vibration", "volatile", 4)],
+        "Storage Metrics": [("Battery State of Charge", "percent_steady"),
+                            ("Charge Rate", "rate", 500),
+                            ("Discharge Rate", "rate", 500),
+                            ("Cell Temperature Spread", "volatile", 6),
+                            ("Round-Trip Efficiency", "hit_ratio")],
+    }),
+    ("Data Center Facility", "minute", {
+        "Power Metrics": [("Total Facility Power", "rate", 4000),
+                          ("IT Load Power", "rate", 2800),
+                          ("PUE", "gauge", 1.4),
+                          ("UPS Battery Charge", "percent_steady"),
+                          ("Generator Fuel Level", "percent_steady")],
+        "Cooling Metrics": [("Cold Aisle Temperature", "level", 22),
+                            ("Hot Aisle Temperature", "level", 35),
+                            ("CRAC Fan Speed", "percent"),
+                            ("Chilled Water Supply Temperature", "level", 8),
+                            ("Humidity Level", "percent")],
+        "Capacity Metrics": [("Rack Space Utilization", "percent_steady"),
+                             ("Power Circuit Utilization", "percent"),
+                             ("Cross-Connect Count", "count", 2000),
+                             ("Thermal Alarm Count", "error", 8),
+                             ("Water Usage Effectiveness", "gauge", 1.8)],
+    }),
+    ("Rail Operations", "hour", {
+        "Service Metrics": [("Trains In Service", "count", 200),
+                            ("Schedule Adherence", "hit_ratio"),
+                            ("Average Dwell Time", "latency", 90),
+                            ("Passenger Load Factor", "percent"),
+                            ("Station Throughput", "rate", 20000)],
+        "Infrastructure Metrics": [("Track Circuit Failures", "error", 4),
+                                   ("Switch Machine Faults", "error", 3),
+                                   ("Catenary Voltage", "gauge", 25000),
+                                   ("Rail Temperature", "level", 35),
+                                   ("Signal System Availability", "hit_ratio")],
+        "Rolling Stock Metrics": [("Traction Energy Use", "rate", 1500),
+                                  ("Brake Pad Wear Index", "percent_steady"),
+                                  ("Door Fault Count", "error", 10),
+                                  ("HVAC Faults Per Fleet", "error", 6)],
+    }),
+    ("Aviation Operations", "hour", {
+        "Flight Metrics": [("Departures Per Hour", "rate", 60),
+                           ("Arrival Delay", "queue", 45),
+                           ("Gate Turnaround Time", "latency", 50),
+                           ("Load Factor", "percent"),
+                           ("Fuel Uplift Volume", "rate", 80000)],
+        "Airport Metrics": [("Security Queue Length", "queue", 300),
+                            ("Baggage Mishandle Count", "error", 25),
+                            ("Runway Occupancy Rate", "percent"),
+                            ("Stand Availability", "percent"),
+                            ("De-icing Queue", "queue", 12)],
+        "Maintenance Metrics": [("AOG Event Count", "error", 3),
+                                ("Unscheduled Removals", "error", 5),
+                                ("Engine EGT Margin", "percent_steady"),
+                                ("MEL Deferral Count", "queue", 20)],
+    }),
+    ("Maritime Shipping", "day", {
+        "Voyage Metrics": [("Vessel Speed", "level", 18),
+                           ("Fuel Consumption", "rate", 40),
+                           ("ETA Deviation", "queue", 12),
+                           ("Cargo Utilization", "percent"),
+                           ("Weather Routing Deviations", "error", 4)],
+        "Port Metrics": [("Berth Occupancy", "percent"),
+                         ("Container Moves Per Hour", "rate", 120),
+                         ("Yard Utilization", "percent_steady"),
+                         ("Gate Truck Queue", "queue", 80),
+                         ("Crane Availability", "percent")],
+        "Engine Metrics": [("Main Engine RPM", "gauge", 90),
+                           ("Cylinder Exhaust Temperature", "level", 380),
+                           ("Turbocharger Speed", "gauge", 12000),
+                           ("Lube Oil Pressure", "gauge", 4.5),
+                           ("Shaft Power", "rate", 15000),
+                           ("SFOC", "gauge", 180)],
+    }),
+    ("CI/CD Platform", "minute", {
+        "Pipeline Metrics": [("Builds Triggered", "rate", 300),
+                             ("Build Duration", "latency", 600),
+                             ("Queue Wait Time", "queue", 300),
+                             ("Build Failure Count", "error", 40),
+                             ("Flaky Test Detections", "error", 25)],
+        "Artifact Metrics": [("Artifact Upload Rate", "rate", 100),
+                             ("Registry Storage Used", "percent_steady"),
+                             ("Cache Hit Ratio", "hit_ratio"),
+                             ("Artifact Pull Latency", "latency", 400)],
+        "Runner Metrics": [("Active Runners", "count", 400),
+                           ("Runner CPU Saturation", "percent"),
+                           ("Provisioning Latency", "latency", 90000),
+                           ("Spot Instance Evictions", "error", 12),
+                           ("Deploy Rollback Count", "error", 5),
+                           ("Concurrent Jobs", "count", 1000)],
+    }),
 ]
 
 

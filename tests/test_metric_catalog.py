@@ -1,6 +1,6 @@
 """Reference-scale metric-domain prior (VERDICT r1 item 7): the generated
 catalog matches the reference metric_set.json's breadth (25 categories /
-~500 metrics / 29k JSON lines there; 23 / 315 / ~17k here) and drives the
+~500 metrics / 29k JSON lines there; 32 / 452 / ~24k here) and drives the
 controlled-datagen and mts_llm pipelines across >= 10 categories."""
 import numpy as np
 
@@ -12,9 +12,9 @@ from chatts_tpu.utils.llm_client import LLMClient
 
 def test_catalog_scale_and_schema():
     cats = build_metric_set()
-    assert len(cats) >= 20
+    assert len(cats) >= 30
     all_metrics = [m for c in cats for m in c["metrics"]]
-    assert len(all_metrics) >= 250
+    assert len(all_metrics) >= 450
     valid_changes = set(ALL_ATTRIBUTE_SET["change"])
     valid_seasonal = set(ALL_ATTRIBUTE_SET["overall_attribute"]["seasonal"])
     valid_trend = set(ALL_ATTRIBUTE_SET["overall_attribute"]["trend"])
