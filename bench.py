@@ -96,12 +96,236 @@ def wait_for_healthy_chip(max_wait_s: float = 1200.0) -> None:
         time.sleep(90)
 
 
+def bench_14b():
+    """ChatTS-14B shape on ONE chip (VERDICT r2 item 3): hidden 5120, 48L,
+    40H/8KV, vocab 152k, int4 (~8 GB weights) — the flagship the reference
+    ships (README.md:260-263), never measured before r3.  Runs in its own
+    process (invoked by main() as a subprocess) so its buffers free fully
+    before the 8B phases; prints one JSON line consumed by main()."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from chatts_tpu.utils import compile_cache
+
+    compile_cache.enable()
+
+    from chatts_tpu.core.config import (
+        ChatTSConfig,
+        QwenConfig,
+        TSEncoderConfig,
+    )
+    from chatts_tpu.models import quantize
+    from chatts_tpu.processor.processor import ChatTSProcessor
+    from chatts_tpu.serve.scheduler import Request, SamplingParams, ServeEngine
+
+    log(f"[14B] devices: {jax.devices()}")
+    vocab = 152064
+    cfg = ChatTSConfig(
+        llm=QwenConfig(
+            vocab_size=vocab, hidden_size=5120, intermediate_size=13824,
+            num_hidden_layers=48, num_attention_heads=40,
+            num_key_value_heads=8, head_dim=128, rope_theta=1e6,
+            attention_bias=True, dtype="bfloat16",
+        ),
+        ts=TSEncoderConfig(patch_size=16, num_layers=5, hidden_size=5120,
+                           max_sequence_length=4096),
+        ts_token_start_index=vocab - 10,
+    )
+
+    class _Tok:
+        pad_token_id = 0
+        eos_token_id = 1
+
+        def encode(self, text, add_special_tokens=False):
+            return [10 + (sum(w.encode()) * 31 + len(w)) % (vocab - 100)
+                    for w in text.split()]
+
+    t0 = time.perf_counter()
+    params = quantize.init_quantized_params(cfg, jax.random.PRNGKey(0),
+                                            fused=True, bits=4)
+    params = jax.block_until_ready(params)
+    log(f"[14B] init int4 params: {time.perf_counter() - t0:.1f}s, "
+        f"{quantize.param_bytes(params) / 1e9:.2f} GB on chip")
+
+    proc = ChatTSProcessor(_Tok(), cfg)
+    concurrency = 16
+    engine = ServeEngine(
+        params, cfg, proc,
+        max_batch_size=concurrency, max_model_len=1024,
+        cache_dtype=jnp.bfloat16, decode_chunk=32, fuse=False,
+        prefill_act_int8=os.environ.get("CHATTS_BENCH_A8", "0") == "1",
+    )
+    rng = np.random.default_rng(0)
+    filler = " ".join(f"word{i}" for i in range(400))
+    prompt = (
+        f"system: you are a helpful assistant. user: here are two metrics "
+        f"<ts><ts/> and <ts><ts/>. {filler} analyze their local changes."
+    )
+
+    def mkreq(budget=None):
+        series = [rng.normal(0, 50, 256).cumsum(),
+                  rng.normal(0, 5, 512).cumsum()]
+        n = budget if budget is not None else int(rng.integers(80, 177))
+        return Request(prompt, series,
+                       SamplingParams(max_tokens=n, temperature=0.0))
+
+    t0 = time.perf_counter()
+    engine.warmup(prefill_buckets=(512,), series_per_request=2,
+                  series_len=512)
+    pre = [mkreq() for _ in range(concurrency)]
+    for r in pre:
+        engine.submit(r)
+    deadline = time.time() + 900
+    while not any(r.output_tokens for r in pre):
+        if time.time() > deadline:
+            break
+        time.sleep(0.05)
+    extra = []
+    for n_b in (8, 2, 1):
+        batch2 = [mkreq() for _ in range(n_b)]
+        for r in batch2:
+            engine.submit(r)
+        extra += batch2
+        time.sleep(3)
+    while any(r.finished_s is None and r.error is None for r in pre + extra):
+        if time.time() > deadline:
+            log("[14B] warmup timed out")
+            break
+        time.sleep(0.05)
+    log(f"[14B] warmup: {time.perf_counter() - t0:.1f}s; errors: "
+        f"{[r.error for r in pre + extra if r.error][:2]}")
+
+    def drain(timeout_s=180.0):
+        dl = time.time() + timeout_s
+        while engine.stats()["active_slots"] > 0 or not engine.waiting.empty():
+            if time.time() > dl:
+                return
+            time.sleep(0.05)
+
+    out = {}
+    # decode tok/s at c16 and c8
+    for c in (concurrency, 8):
+        deco = [mkreq(350) for _ in range(c)]
+        for r in deco:
+            engine.submit(r)
+        dl = time.time() + 300
+        while not all(r.output_tokens or r.error for r in deco):
+            if time.time() > dl:
+                break
+            time.sleep(0.02)
+        base = sum(len(r.output_tokens) for r in deco)
+        a0 = time.perf_counter()
+        while (not any(r.finished_s is not None for r in deco)
+               and time.perf_counter() - a0 < 25.0):
+            time.sleep(0.05)
+        tps = (sum(len(r.output_tokens) for r in deco) - base) / (
+            time.perf_counter() - a0)
+        out[f"decode_tps_c{c}"] = round(tps, 1)
+        log(f"[14B] decode c{c}: {tps:.0f} tok/s")
+        for r in deco:
+            r.cancel()
+        drain()
+
+    # single-request and burst-8 TTFT (warm)
+    solo = []
+    for trial in range(4):
+        r = mkreq(8)
+        engine.submit(r)
+        dl = time.time() + 300
+        while r.ttft_s is None and not r.error:
+            if time.time() > dl:
+                break
+            time.sleep(0.005)
+        if trial > 0 and r.ttft_s is not None:
+            solo.append(r.ttft_s)
+        r.cancel()
+        drain()
+    out["ttft_single_ms"] = round(float(np.median(solo) * 1e3), 1) if solo else None
+    bursts = []
+    for trial in range(3):
+        reqs = [mkreq(8) for _ in range(8)]
+        for r in reqs:
+            engine.submit(r)
+        dl = time.time() + 300
+        while not all(r.ttft_s is not None or r.error for r in reqs):
+            if time.time() > dl:
+                break
+            time.sleep(0.01)
+        if trial > 0:
+            bursts.extend([r.ttft_s for r in reqs if r.ttft_s is not None])
+        for r in reqs:
+            r.cancel()
+        drain()
+    out["ttft_burst8_p50_ms"] = (round(float(np.median(bursts) * 1e3), 1)
+                                 if bursts else None)
+    log(f"[14B] TTFT single {out['ttft_single_ms']} ms, "
+        f"burst-8 p50 {out['ttft_burst8_p50_ms']} ms")
+
+    # saturated closed loop, 25 s window
+    stop = threading.Event()
+
+    def loadgen():
+        inflight = [mkreq() for _ in range(concurrency)]
+        for r in inflight:
+            engine.submit(r)
+        while not stop.is_set():
+            for i, r in enumerate(inflight):
+                if r.finished_s is not None or r.error is not None:
+                    nr = mkreq()
+                    engine.submit(nr)
+                    inflight[i] = nr
+            time.sleep(0.002)
+
+    gen = threading.Thread(target=loadgen, daemon=True)
+    gen.start()
+    time.sleep(15)
+    base = engine.streamed_tokens
+    w0 = time.perf_counter()
+    time.sleep(25)
+    agg = (engine.streamed_tokens - base) / (time.perf_counter() - w0)
+    stop.set()
+    gen.join(timeout=10)
+    out["serving_agg_tps"] = round(agg, 1)
+    log(f"[14B] saturated aggregate: {agg:.0f} tok/s")
+    engine.stop()
+    print(json.dumps(out))
+
+
 def main():
     import os
 
     tiny = os.environ.get("CHATTS_BENCH_TINY") == "1"  # CPU smoke mode
+    if os.environ.get("CHATTS_BENCH_14B") == "1":
+        bench_14b()
+        return
     if not tiny:
         wait_for_healthy_chip()
+
+    # 14B-shape phase FIRST, in its own process (serial — concurrent TPU
+    # clients stall each other on this tunnel), so its 9.5 GB of buffers
+    # free before the 8B engine allocates.  Skippable for quick iterations.
+    results_14b = {}
+    if not tiny and os.environ.get("CHATTS_BENCH_SKIP_14B") != "1":
+        import subprocess
+
+        env = dict(os.environ, CHATTS_BENCH_14B="1")
+        t0 = time.perf_counter()
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__], env=env, capture_output=True,
+                text=True, timeout=2400,
+            )
+            sys.stderr.write(r.stderr[-4000:])
+            for line in r.stdout.strip().splitlines():
+                try:
+                    results_14b = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+        except subprocess.TimeoutExpired:
+            log("14B phase timed out; continuing with 8B phases")
+        log(f"14B phase: {time.perf_counter() - t0:.1f}s -> {results_14b}")
 
     import jax
     import jax.numpy as jnp
@@ -191,6 +415,8 @@ def main():
         # saturated TTFT give back ~0.2 s, which phase C reports honestly.
         decode_chunk=32,
         fuse=False,
+        # int8-activation prompt matmuls (v5e MXU int8 = 2x bf16 TOPS).
+        prefill_act_int8=os.environ.get("CHATTS_BENCH_A8", "0") == "1",
     )
 
     rng = np.random.default_rng(0)
@@ -233,8 +459,9 @@ def main():
     extra = [mkreq() for _ in range(8)]
     for r in extra:
         engine.submit(r)
-    # ... and the 4-/2-row trickle families (steady-state replacements).
-    for n in (4, 2):
+    # ... and the 4-/2-/1-row trickle families (steady-state replacements
+    # are mostly singles).
+    for n in (4, 2, 1):
         time.sleep(3)
         batch2 = [mkreq() for _ in range(n)]
         for r in batch2:
@@ -426,10 +653,12 @@ def main():
                 "serving_ttft_p50_ms": round(sat_p50, 1),
                 "serving_ttft_p90_ms": round(sat_p90, 1),
                 "requests_completed_per_min": round(n_done * 60 / elapsed, 1),
+                "chatts14b": results_14b,
                 "baseline_note": (
                     "decode c32 vs r1 8B int8 2230 tok/s; ttft = burst-8 on "
                     "warm engine (r1 definition); serving_agg includes "
-                    "continuous admission prefill FLOPs"
+                    "continuous admission prefill FLOPs; chatts14b = 14B "
+                    "shape (5120h/48L/40H8KV) int4 on the same chip"
                 ),
             }
         )

@@ -680,12 +680,19 @@ def _mixed_attention(
     pro_positions = positions[0, b:].reshape(a, npt)
     adm_kv_pos = jnp.tile(jnp.arange(kv_limit, dtype=jnp.int32)[None], (a, 1))
     adm_kv_valid = adm_kv_pos < adm_seq_lens[:, None]
+    # Prompt-side attention impl, overridable via CHATTS_MIXED_PROMPT_ATTN
+    # (read at trace time) so the xla-vs-flash choice at mixed shapes
+    # (a<=8, npt<=64, kv_limit ladder) can be A/B'd on chip
+    # (scripts/experiments/expt_mixed_attn.py; table in BENCHMARKS.md).
+    import os as _os
+
+    pro_impl = _os.environ.get("CHATTS_MIXED_PROMPT_ATTN", "xla")
     out_pro = attention(
         q_pro,
         jnp.swapaxes(k_adm, 1, 2).astype(q_pro.dtype),
         jnp.swapaxes(v_adm, 1, 2).astype(q_pro.dtype),
         q_positions=pro_positions, kv_positions=adm_kv_pos,
-        kv_valid=adm_kv_valid, scale=d ** -0.5, impl="xla",
+        kv_valid=adm_kv_valid, scale=d ** -0.5, impl=pro_impl,
     )  # (A, npt, H, D)
 
     out = jnp.concatenate(
