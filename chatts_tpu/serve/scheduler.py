@@ -286,29 +286,15 @@ def _mixed_step_all_slots(
             rng, packed)
 
 
-def _decode_all_slots(
-    params,
-    cfg: ChatTSConfig,
-    attn_impl: str,
-    chunk_size: int,
-    pad_id: int,
-    caches,  # donated
-    tokens,  # (B,) last token per slot
-    cur_lens,  # (B,)
-    active,  # (B,) bool — slot has a live request
-    temperature,  # (B,)
-    top_p,  # (B,)
-    eos_ids,  # (E,) int32 (padded with -1)
-    budget_left,  # (B,) int32 remaining tokens incl. this chunk
-    rng,
-    mesh=None,
+def _decode_scan(
+    params, cfg: ChatTSConfig, attn_impl: str, chunk_size: int,
+    caches, tokens, cur_lens, active, temperature, top_p, eos_ids,
+    budget_left, rng, mesh=None,
 ):
-    """Advance every active slot ``chunk_size`` decode steps on device.
-
-    Emits (B, chunk) tokens; -1 marks steps where a slot was inactive or
-    finished.  Finishing conditions (EOS or budget exhausted) are evaluated
-    on device so the host syncs once per chunk.
-    """
+    """The decode scan shared by the pure-decode round and the block-mode
+    admission round: advance every active slot ``chunk_size`` steps.
+    Returns (caches, tokens, cur_lens, budget, rng, emitted (chunk, B),
+    live (B,))."""
     b = tokens.shape[0]
     cache_len = caches[0][0].shape[2]
     kv_positions = jnp.tile(jnp.arange(cache_len, dtype=jnp.int32)[None], (b, 1))
@@ -343,6 +329,36 @@ def _decode_all_slots(
         body, (caches, tokens, cur_lens, live0, budget_left, rng), None,
         length=chunk_size,
     )
+    return caches, tokens, cur_lens, budget_left, rng, emitted, live
+
+
+def _decode_all_slots(
+    params,
+    cfg: ChatTSConfig,
+    attn_impl: str,
+    chunk_size: int,
+    pad_id: int,
+    caches,  # donated
+    tokens,  # (B,) last token per slot
+    cur_lens,  # (B,)
+    active,  # (B,) bool — slot has a live request
+    temperature,  # (B,)
+    top_p,  # (B,)
+    eos_ids,  # (E,) int32 (padded with -1)
+    budget_left,  # (B,) int32 remaining tokens incl. this chunk
+    rng,
+    mesh=None,
+):
+    """Advance every active slot ``chunk_size`` decode steps on device.
+
+    Emits (B, chunk) tokens; -1 marks steps where a slot was inactive or
+    finished.  Finishing conditions (EOS or budget exhausted) are evaluated
+    on device so the host syncs once per chunk.
+    """
+    caches, tokens, cur_lens, budget_left, rng, emitted, live = _decode_scan(
+        params, cfg, attn_impl, chunk_size, caches, tokens, cur_lens,
+        active, temperature, top_p, eos_ids, budget_left, rng, mesh,
+    )
     # rng is returned so the host can thread it into the next round without
     # a standalone jax.random.split, and emitted+live are PACKED into one
     # array so the host fetches one result instead of two (each host-side
@@ -352,6 +368,106 @@ def _decode_all_slots(
         [emitted.T.astype(jnp.int32), live.astype(jnp.int32)[:, None]],
         axis=1)
     return caches, tokens, cur_lens, budget_left, rng, packed
+
+
+def _block_admission_round(
+    params,
+    cfg: ChatTSConfig,
+    attn_impl: str,
+    act_int8: bool,
+    chunk_size: int,
+    caches,  # donated
+    tokens,  # (B,)
+    cur_lens,  # (B,)
+    active,  # (B,) bool
+    temperature,  # (B,)
+    top_p,  # (B,)
+    eos_ids,  # (E,)
+    budget_left,  # (B,)
+    adm_write_rows,  # (A,) int32 — cache rows (pads -> out-of-bounds, dropped)
+    adm_embeds,  # (A, T, H) the WHOLE admission prompt, merged embeddings
+    adm_seq_lens,  # (A,)
+    adm_temp,  # (A,)
+    adm_topp,  # (A,)
+    rng,
+    mesh=None,
+):
+    """One serving round = the full decode scan PLUS the ENTIRE admission
+    prefilled as one monolithic (A, T) block — a single jit'd executable.
+
+    Why a block instead of slicing the prompt across the decode scan
+    (_mixed_step_all_slots): measured on chip (r3 anatomy), the scan-sliced
+    form runs the prompt side as 32 small (B + A*npt)-row matmuls at ~50%
+    MXU efficiency, 1.22 s/round at (a=8, npt=16), and saturated serving
+    spent its whole window in those rounds (531 tok/s).  A monolithic
+    (A*T)-row block hits the ~76% efficiency of the batch prefill path, so
+    the same admission costs ~0.4 s on top of the decode scan.  Decode
+    never stalls (same executable), prompt K/V lands in the big caches via
+    span-window scatters, and the admission's first tokens are sampled
+    in-round — one dispatch, one fetch.
+
+    The scan-sliced path remains for prompts too long to block-prefill
+    (bounded compiles / transient memory; ServeEngine._start_mixed_admission
+    picks the mode)."""
+    b = tokens.shape[0]
+    a, t, hdim = adm_embeds.shape
+    # 1. Decode scan (admission slots are inactive: their stale-position
+    # element writes land in their own rows but only at positions the new
+    # request will overwrite before reading).
+    caches, tokens, cur_lens, budget_left, rng, emitted, live = _decode_scan(
+        params, cfg, attn_impl, chunk_size, caches, tokens, cur_lens,
+        active, temperature, top_p, eos_ids, budget_left, rng, mesh,
+    )
+    # 2. Monolithic prompt block: self-contained causal prefill over T.
+    positions = jnp.tile(jnp.arange(t, dtype=jnp.int32)[None], (a, 1))
+    kv_valid = positions < adm_seq_lens[:, None]
+    int8_kv = len(caches[0]) == 4
+    small_caches = [
+        (
+            jnp.zeros((a, c[0].shape[1], t, c[0].shape[3]), c[0].dtype),
+            jnp.zeros((a, c[1].shape[1], t, c[1].shape[3]), c[1].dtype),
+        )
+        + (
+            (jnp.ones((a, c[0].shape[1], t), jnp.float32),
+             jnp.ones((a, c[1].shape[1], t), jnp.float32))
+            if int8_kv else ()
+        )
+        for c in caches
+    ]
+    hidden, small_caches = qwen.forward(
+        params["llm"], cfg.llm, adm_embeds, positions,
+        kv_caches=small_caches, write_pos=None,
+        kv_valid=kv_valid, kv_positions=positions,
+        attn_impl=attn_impl, mesh=mesh, act_int8=act_int8,
+    )
+    # 3. Place prompt K/V into the big caches: one span-window scatter per
+    # buffer per layer (pad rows routed out of bounds drop whole windows).
+    rows = adm_write_rows.astype(jnp.int32)
+    new_caches = []
+    for big, small in zip(caches, small_caches):
+        updated = []
+        for bbuf, sbuf in zip(big, small):
+            updated.append(qwen._scatter_token_spans(
+                bbuf, sbuf.astype(bbuf.dtype), rows, jnp.int32(0)))
+        new_caches.append(tuple(updated))
+    # 4. First token for each admission row.
+    last = jnp.take_along_axis(
+        hidden,
+        jnp.maximum(adm_seq_lens - 1, 0)[:, None, None].astype(jnp.int32),
+        axis=1,
+    )
+    logits = chatts.compute_logits(params, cfg, last, mesh=mesh)[:, 0]
+    rng, key = jax.random.split(rng)
+    first = sampling.sample_per_slot(logits, key, adm_temp, adm_topp)
+    first_b = jnp.full((b,), -1, jnp.int32)
+    first_b = jax.lax.dynamic_update_slice(first_b, first.astype(jnp.int32),
+                                           (0,))
+    # packed: (B, chunk+2) — emitted tokens, live flag, first-token column.
+    packed = jnp.concatenate(
+        [emitted.T.astype(jnp.int32), live.astype(jnp.int32)[:, None],
+         first_b[:, None]],
+        axis=1)
+    return new_caches, tokens, cur_lens, budget_left, rng, packed
 
 
 class ServeEngine:
@@ -405,6 +521,11 @@ class ServeEngine:
         # int8xint8 prompt-side matmuls (v5e MXU 2x TOPS): halves the
         # FLOP floor of monolithic admission prefill.  Decode stays bf16.
         self.prefill_act_int8 = prefill_act_int8
+        # Admissions whose whole prompt fits a*t <= this budget run as ONE
+        # block-mode round (decode scan + monolithic prompt block, measured
+        # ~76% MXU on the prompt side); bigger admissions fall back to the
+        # scan-sliced mixed step (bounded compiles / transient memory).
+        self.block_token_budget = 8192
         self._a_bucket = min(8, max_batch_size)
         self.attn_impl = attn_impl
         self.eos_token_ids = tuple(eos_token_ids)
@@ -463,6 +584,12 @@ class ServeEngine:
             _mixed_step_all_slots,
             static_argnames=("cfg", "attn_impl", "chunk_size", "npt",
                              "kv_limit", "mesh"),
+            donate_argnames=("caches",),
+        )
+        self._block_jit = jax.jit(
+            _block_admission_round,
+            static_argnames=("cfg", "attn_impl", "act_int8", "chunk_size",
+                             "mesh"),
             donate_argnames=("caches",),
         )
         self._slice_jit = jax.jit(_slice_admission, static_argnames=("c",))
@@ -771,15 +898,19 @@ class ServeEngine:
                     [ts for req in admitted for ts in req.timeseries],
                 )
                 keep_rows = list(range(len(admitted)))
-            # The mixed step writes prompt K/V as npt-token span windows;
-            # the ACTUAL family's padded round bound must fit the cache or a
-            # tail window would fall out of bounds (dropped whole -> lost
-            # prompt K/V).  Smaller families get a LARGER npt cap, so the
-            # plan must be sized with the real admitted count, not the
-            # worst-case bucket.  Odd configs fall back to monolithic.
-            _, _, _, t_pad_m = self._mixed_plan(
-                len(admitted), batch.input_ids.shape[1])
-            use_mixed = t_pad_m <= self.caches[0][0].shape[2]
+            if self._block_eligible(len(admitted), batch.input_ids.shape[1]):
+                use_mixed = True
+            else:
+                # Scan-sliced fallback writes prompt K/V as npt-token span
+                # windows; the ACTUAL family's padded round bound must fit
+                # the cache or a tail window would fall out of bounds
+                # (dropped whole -> lost prompt K/V).  Smaller families get
+                # a LARGER npt cap, so the plan must be sized with the real
+                # admitted count, not the worst-case bucket.  Odd configs
+                # fall back to monolithic.
+                _, _, _, t_pad_m = self._mixed_plan(
+                    len(admitted), batch.input_ids.shape[1])
+                use_mixed = t_pad_m <= self.caches[0][0].shape[2]
         try:
             self._prefill_requests(admitted, free[: len(admitted)], batch,
                                    keep_rows, use_mixed)
@@ -908,6 +1039,19 @@ class ServeEngine:
         t_pad = -(-t // c) * c
         return a, npt, c, t_pad
 
+    def _block_eligible(self, n_reqs: int, t: int) -> bool:
+        """Whether an admission takes the block-mode round (decode scan +
+        monolithic prompt block): the whole prompt must fit the cache and
+        the block's row count must stay within the transient/compile
+        budget.  With prefill_chunk configured, long prompts keep the
+        scan-sliced path (that's the bounded-compile contract)."""
+        if self.prefill_chunk is not None and t > self.prefill_chunk:
+            return False
+        a = (1 if n_reqs <= 1 else 2 if n_reqs <= 2
+             else 4 if n_reqs <= 4 else self._a_bucket)
+        return (a * t <= self.block_token_budget
+                and t <= self.caches[0][0].shape[2])
+
     def _start_mixed_admission(self, reqs, slots, keep_rows, batch) -> None:
         """Begin a mixed admission: the prompt's merged embeddings are
         precomputed once, then every engine-loop iteration consumes
@@ -926,6 +1070,9 @@ class ServeEngine:
         saturated serving at ~370 tok/s (the prompt side of a mixed round
         is pure MXU work, ~13 GFLOP per token at the 8B shape)."""
         kb, t = batch.input_ids.shape
+        if self._block_eligible(len(reqs), t):
+            self._start_block_admission(reqs, slots, keep_rows, batch)
+            return
         a, npt, c, t_pad = self._mixed_plan(len(reqs), t)
         # _admit guarantees the batch rows are exactly the admitted rows
         # (it re-processes when candidates were rejected), so kb <= a.
@@ -972,6 +1119,68 @@ class ServeEngine:
             "last_hidden": jnp.zeros((a, hdim), jnp.float32),
         }
 
+    def _start_block_admission(self, reqs, slots, keep_rows, batch) -> None:
+        """Stage a block-mode admission: merged prompt embeddings computed
+        once; the next round runs the decode scan AND the whole (A, T)
+        prompt block in one executable (_block_admission_round)."""
+        kb, t = batch.input_ids.shape
+        a = (1 if len(reqs) <= 1 else 2 if len(reqs) <= 2
+             else 4 if len(reqs) <= 4 else self._a_bucket)
+        assert kb == len(reqs) <= a, (kb, len(reqs), a)
+        input_ids = np.full((a, t), self.processor.pad_token_id, np.int32)
+        input_ids[:kb] = batch.input_ids
+        embeds = self._embed_jit(
+            self.params, self.cfg,
+            jnp.asarray(input_ids),
+            jnp.asarray(batch.ts_values),
+            jnp.asarray(batch.ts_mask),
+            jnp.asarray(batch.scatter_seq),
+            jnp.asarray(batch.scatter_tok),
+        )
+        seq_lens = np.zeros((a,), np.int32)
+        # Pad rows write OUT OF BOUNDS (distinct rows keep scatter indices
+        # unique) and their windows drop whole.
+        adm_write_rows = np.arange(
+            self.max_batch_size, self.max_batch_size + a, dtype=np.int32
+        )
+        temp = np.zeros((a,), np.float32)
+        topp = np.ones((a,), np.float32)
+        for req, slot, row in zip(reqs, slots, keep_rows):
+            seq_lens[row] = req.prompt_tokens
+            adm_write_rows[row] = slot
+            temp[row] = req.params.temperature
+            topp[row] = req.params.top_p
+            self.slots[slot] = req  # reserve; live after the first token
+        self._pending_mixed = {
+            "mode": "block",
+            "reqs": reqs, "slots": slots, "keep_rows": keep_rows,
+            "embeds": embeds,
+            "write_rows": jnp.asarray(adm_write_rows),
+            "seq_dev": jnp.asarray(seq_lens),
+            "temp": jnp.asarray(temp), "topp": jnp.asarray(topp),
+        }
+
+    def _dispatch_block(self):
+        st = self._pending_mixed
+        active = self._active_device()
+        (
+            self.caches, self.tokens, self.cur_lens, self.budget,
+            self.rng, packed,
+        ) = self._block_jit(
+            self.params, self.cfg, self.attn_impl, self.prefill_act_int8,
+            self.decode_chunk,
+            self.caches, self.tokens, self.cur_lens, active,
+            self.temperature, self.top_p,
+            self._eos_dev, self.budget,
+            st["write_rows"], st["embeds"], st["seq_dev"],
+            st["temp"], st["topp"], self.rng,
+            mesh=self.mesh,
+        )
+        self.mixed_rounds_run += 1
+        self._pending_mixed = None
+        return ("block", packed, st, st["embeds"].shape[0],
+                st["embeds"].shape[1])
+
     def _dispatch_mixed(self):
         """Dispatch one fused serving round WITHOUT blocking: all decode
         slots advance decode_chunk steps AND the pending admission consumes
@@ -1015,6 +1224,13 @@ class ServeEngine:
         activate the admitted slots."""
         kind, packed, finalize = handle[0], handle[1], handle[2]
         arr = np.asarray(packed)
+        if kind == "block":
+            # (B, chunk+2): emitted | live | first-token column (sampled
+            # in-round — no extra device call or fetch).
+            self._process_emitted(arr[:, :-2], arr[:, -2].astype(bool))
+            self._finalize_admission(finalize["reqs"], finalize["slots"],
+                                     finalize["keep_rows"], arr[:, -1])
+            return
         self._process_emitted(arr[:, :-1], arr[:, -1].astype(bool))
         if finalize is not None:
             st = finalize
@@ -1065,6 +1281,8 @@ class ServeEngine:
             if req is not None and req.cancelled and self.live_host[slot]:
                 self._finish(slot, "cancelled")
         if self._pending_mixed is not None:
+            if self._pending_mixed.get("mode") == "block":
+                return self._dispatch_block()
             return self._dispatch_mixed()
         if self.live_host.any():
             return self._dispatch_decode()

@@ -447,6 +447,46 @@ def test_mixed_admission_while_decoding_token_exact(engine_setup):
     assert r3.output_tokens == expected(p3, t3, 6)
 
 
+def test_scan_sliced_mixed_admission_token_exact(engine_setup):
+    """The scan-sliced mixed step (long-prompt mode) stays token-exact when
+    block mode is disabled — admissions consume the prompt in npt-token
+    slices inside the decode scan."""
+    import time
+
+    cfg, params, proc = engine_setup
+    from chatts_tpu.core.config import GenerationConfig
+    from chatts_tpu.runtime.engine import InferenceEngine
+
+    batch_engine = InferenceEngine(params, cfg, cache_dtype=jnp.float32,
+                                   attn_impl="xla")
+
+    def expected(prompt, ts, n):
+        return batch_engine.generate(
+            proc([prompt], ts), GenerationConfig(max_new_tokens=n, greedy=True)
+        ).token_ids[0]
+
+    p1, t1 = "first long runner <ts><ts/> keeps decoding", [np.arange(12.0)]
+    p2, t2 = "second arrives <ts><ts/> mid decode", [np.sin(np.arange(8.0))]
+
+    with make_engine(engine_setup) as eng:
+        eng.block_token_budget = 0  # force the scan-sliced path
+        r1 = Request(p1, t1, SamplingParams(max_tokens=30, temperature=0.0))
+        eng.submit(r1)
+        deadline = time.time() + 60
+        while not r1.output_tokens:
+            assert time.time() < deadline
+            time.sleep(0.005)
+        r2 = Request(p2, t2, SamplingParams(max_tokens=6, temperature=0.0))
+        eng.submit(r2)
+        while any(r.finished_s is None and r.error is None for r in (r1, r2)):
+            assert time.time() < deadline, "requests did not finish"
+            time.sleep(0.002)
+    assert r1.error is None and r2.error is None
+    assert eng.mixed_rounds_run > 0
+    assert r1.output_tokens == expected(p1, t1, 30)
+    assert r2.output_tokens == expected(p2, t2, 6)
+
+
 def test_mixed_admission_overlong_cobatch_isolated(engine_setup):
     """An over-length request co-batched into a MIXED admission must be
     rejected alone: the valid requests in the wave still admit and finish.
