@@ -6,6 +6,7 @@ dispatch-dominated on this tunnel), and checks logits agreement.
 
 Run:  python scripts/experiments/expt_a8_prefill.py
 """
+import functools
 import sys
 import time
 
@@ -40,16 +41,19 @@ def main():
     print(f"init: {time.perf_counter() - t0:.1f}s", flush=True)
     llm = params["llm"]
 
-    @jax.jit
-    def fwd(emb, pos, act_int8: bool = False):
+    # params passed as ARGUMENTS (a closure would bake 3.5 GB of weights
+    # into the executable as captured constants).
+    @functools.partial(jax.jit, static_argnames=("act_int8",))
+    def fwd(llm, emb, pos, act_int8):
         h, _ = qwen.forward(llm, cfg, emb, pos, attn_impl="auto",
                             act_int8=act_int8)
         return h
 
-    fwd_a8 = jax.jit(lambda emb, pos: qwen.forward(
-        llm, cfg, emb, pos, attn_impl="auto", act_int8=True)[0])
-    fwd_bf = jax.jit(lambda emb, pos: qwen.forward(
-        llm, cfg, emb, pos, attn_impl="auto", act_int8=False)[0])
+    def fwd_a8(emb, pos):
+        return fwd(llm, emb, pos, True)
+
+    def fwd_bf(emb, pos):
+        return fwd(llm, emb, pos, False)
 
     for b, t in ((1, 640), (2, 640), (8, 640), (32, 512)):
         key = jax.random.PRNGKey(b * 1000 + t)

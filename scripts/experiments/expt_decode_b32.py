@@ -47,7 +47,7 @@ def main():
     b, cap, chunk = 32, 1024, 32
 
     def make_step(attn_impl, with_logits=True, chunk_size=chunk):
-        def step(caches, tokens, cur_lens, rng):
+        def step(params, caches, tokens, cur_lens, rng):
             kv_positions = jnp.tile(
                 jnp.arange(cap, dtype=jnp.int32)[None], (b, 1))
 
@@ -82,7 +82,7 @@ def main():
                 length=chunk_size)
             return caches, tokens, cur_lens, rng, emitted
 
-        return jax.jit(step, donate_argnames=("caches",))
+        return jax.jit(step, donate_argnames=("caches",))  # params = arg 0
 
     rng0 = jax.random.PRNGKey(0)
 
@@ -92,14 +92,15 @@ def main():
         cur_lens = jnp.full((b,), 512, jnp.int32)
         step = make_step(attn_impl, with_logits, chunk_size)
         rng = rng0
-        caches, tokens, cur_lens, rng, em = step(caches, tokens, cur_lens, rng)
+        caches, tokens, cur_lens, rng, em = step(params, caches, tokens,
+                                                 cur_lens, rng)
         _ = np.asarray(em[-1])  # sync
         t1 = time.perf_counter()
         n = 0
         reps = 4
         for _ in range(reps):
             caches, tokens, cur_lens, rng, em = step(
-                caches, tokens, cur_lens, rng)
+                params, caches, tokens, cur_lens, rng)
             _ = np.asarray(em[-1])
             n += chunk_size
         dt = (time.perf_counter() - t1) / n

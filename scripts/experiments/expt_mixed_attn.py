@@ -10,6 +10,7 @@ Run each arm in a FRESH process (the env var is read at trace time):
   CHATTS_MIXED_PROMPT_ATTN=xla   python scripts/experiments/expt_mixed_attn.py
   CHATTS_MIXED_PROMPT_ATTN=flash python scripts/experiments/expt_mixed_attn.py
 """
+import functools
 import os
 import sys
 import time
@@ -48,7 +49,7 @@ def main():
     llm = params["llm"]
     b, a, npt, chunk = 32, 8, 64, 4  # chunk small: isolates per-step cost
 
-    for cap in (512, 1024, 4096):
+    for cap in (512, 1024, 2048):
         caches = kv_cache.allocate(cfg.llm, b, cap, jnp.bfloat16)
         hdim = cfg.llm.hidden_size
         kv_positions = jnp.tile(jnp.arange(cap, dtype=jnp.int32)[None], (b, 1))
@@ -61,8 +62,8 @@ def main():
         adm_slots = jnp.arange(a, dtype=jnp.int32)
         adm_seq_lens = jnp.full((a,), min(cap - 8, a * npt), jnp.int32)
 
-        @jax.jit
-        def round_fn(caches, x_pack, positions):
+        @functools.partial(jax.jit, donate_argnames=('caches',))
+        def round_fn(llm, caches, x_pack, positions):
             h, caches = qwen.forward_mixed(
                 llm, cfg.llm, x_pack, positions, b=b, a=a, npt=npt,
                 write_rows=write_rows, adm_slots=adm_slots,
@@ -80,12 +81,12 @@ def main():
             jnp.full((b,), 256, jnp.int32),
             jnp.tile(jnp.arange(npt, dtype=jnp.int32) + 128, a),
         ])[None]
-        h, caches = round_fn(caches, x, pos)
+        h, caches = round_fn(llm, caches, x, pos)
         _ = float(jnp.asarray(h[0, 0, 0]))
         t1 = time.perf_counter()
         reps = 6
         for _ in range(reps):
-            h, caches = round_fn(caches, x, pos)
+            h, caches = round_fn(llm, caches, x, pos)
             _ = float(jnp.asarray(h[0, 0, 0]))
         dt = (time.perf_counter() - t1) / reps
         print(f"kv_limit={cap} impl={impl}: {dt * 1e3:.1f} ms per mixed "
