@@ -45,6 +45,7 @@ def _prefill(
     cache_len: int,
     cache_dtype,
     attn_impl: str,
+    act_int8: bool,
     gen_cfg: GenerationConfig,
     input_ids,
     positions,
@@ -66,7 +67,7 @@ def _prefill(
         scatter_seq=scatter_seq, scatter_tok=scatter_tok,
         kv_caches=caches, write_pos=None,
         kv_valid=kv_valid, kv_positions=kv_positions,
-        attn_impl=attn_impl, mesh=mesh,
+        attn_impl=attn_impl, mesh=mesh, act_int8=act_int8,
     )
     last = jnp.take_along_axis(
         hidden, (seq_lens - 1)[:, None, None].astype(jnp.int32), axis=1
@@ -209,6 +210,7 @@ class InferenceEngine:
         pad_id: int = 0,
         fuse: bool = True,
         prefill_chunk: Optional[int] = None,
+        prefill_act_int8: bool = False,
     ):
         if fuse:
             params = chatts.maybe_fuse(params)
@@ -222,10 +224,13 @@ class InferenceEngine:
         # chunks (one compile per (chunk, kv_limit) pair, reused across
         # prompt lengths) instead of one monolithic block.
         self.prefill_chunk = prefill_chunk
+        # int8 activations for the prompt-side matmuls (v5e MXU int8 path,
+        # 2x bf16 TOPS); decode stays bf16.
+        self.prefill_act_int8 = prefill_act_int8
         self._prefill_jit = jax.jit(
             functools.partial(_prefill),
             static_argnames=("cfg", "cache_len", "cache_dtype", "attn_impl",
-                             "gen_cfg", "mesh"),
+                             "act_int8", "gen_cfg", "mesh"),
         )
         # Mesh-aware decode: TP/DP-sharded params route the ragged kernel
         # through shard_map (the mesh is a hashable static arg).
@@ -338,7 +343,7 @@ class InferenceEngine:
         else:
             caches, next_token = self._prefill_jit(
                 self.params, self.cfg, cache_len, self.cache_dtype,
-                self.attn_impl, gen_cfg,
+                self.attn_impl, self.prefill_act_int8, gen_cfg,
                 jnp.asarray(batch.input_ids),
                 jnp.asarray(batch.positions),
                 jnp.asarray(batch.seq_lens),

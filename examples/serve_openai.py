@@ -27,6 +27,10 @@ def main():
                              "checkpoints import losslessly")
     parser.add_argument("--kv-int8", action="store_true",
                         help="int8 KV cache (halves per-slot cache memory)")
+    parser.add_argument("--prefill-act-int8", action="store_true",
+                        help="int8 activations for prompt-side matmuls "
+                             "(v5e MXU int8 = 2x bf16 TOPS; decode stays "
+                             "bf16)")
     parser.add_argument("--prefill-chunk", type=int, default=None,
                         help="admit prompts longer than this in chunks, "
                              "interleaved with decode (bounded compiles)")
@@ -80,6 +84,7 @@ def main():
         decode_chunk=args.decode_chunk,
         prefill_chunk=args.prefill_chunk,
         fuse=not quant_bits,
+        prefill_act_int8=args.prefill_act_int8,
     )
     if not args.no_warmup:
         print("[serve] warming up prefill buckets...")
