@@ -154,7 +154,9 @@ def bench_14b():
     engine = ServeEngine(
         params, cfg, proc,
         max_batch_size=concurrency, max_model_len=1024,
-        cache_dtype=jnp.bfloat16, decode_chunk=32, fuse=False,
+        # int8 KV: ~9.4 GB of int4 weights + bf16 KV at c16 (6.4 GB) would
+        # not fit the 16 GB chip; int8 KV halves the cache (3.2 GB).
+        cache_dtype=jnp.int8, decode_chunk=32, fuse=False,
         prefill_act_int8=os.environ.get("CHATTS_BENCH_A8", "0") == "1",
     )
     rng = np.random.default_rng(0)
