@@ -142,10 +142,13 @@ def _kernel(x_ref, p_ref, s_ref, y_ref, acc, *, n_in, group):
 
 
 def _kernel_a8(x_ref, p_ref, s_ref, xs_ref, y_ref, acc, *, n_in, group):
-    """int8-activation variant: x is per-row-quantized int8, the dot runs
-    int8 x int4 -> int32 on the MXU (v5e int8 MXU throughput is 2x bf16 —
-    the prefill-side FLOP lever, VERDICT r2 item 2), group weight scales
-    applied on the f32 accumulator, per-row activation scales at flush."""
+    """int8-activation variant: x is per-row-quantized int8 and the dot
+    runs int8 x int8 -> int32 on the MXU (v5e int8 MXU throughput is 2x
+    bf16 — the prefill-side FLOP lever, VERDICT r2 item 2).  Mosaic has no
+    int8 x int4 matmul (tpu.matmul rejects the operand pair — measured on
+    chip), so the int4 weight view converts to int8 in-kernel; group
+    weight scales apply on the f32 accumulator, per-row activation scales
+    at flush."""
     ii = pl.program_id(2)
 
     @pl.when(ii == 0)
@@ -155,12 +158,12 @@ def _kernel_a8(x_ref, p_ref, s_ref, xs_ref, y_ref, acc, *, n_in, group):
     pkb, nb = p_ref.shape
     kb = 2 * pkb
     gpb = kb // group
-    w4 = pltpu.bitcast(p_ref[:], jnp.int4)
+    w8 = pltpu.bitcast(p_ref[:], jnp.int4).astype(jnp.int8)
     x = x_ref[:]
     dn = (((1,), (0,)), ((), ()))
     for g in range(gpb):
         xg = x[:, g * group:(g + 1) * group]
-        wg = w4[g * group:(g + 1) * group, :]
+        wg = w8[g * group:(g + 1) * group, :]
         d = jax.lax.dot_general(xg, wg, dn, preferred_element_type=jnp.int32)
         acc[:] += d.astype(jnp.float32) * s_ref[0, g, :][None, :]
 
