@@ -14,6 +14,18 @@ reference's explicit choice (reference: chatts/utils/llm_utils.py:154).
 Host loop (thread) -> jit'd device functions; all shapes static per
 (prefill-bucket, cache-capacity) pair so compilation is one-time.
 TTFT/TPOT are tracked per request (SURVEY §5 observability gap).
+
+Round forms (r3):
+- pure decode round: all live slots advance decode_chunk steps.
+- BLOCK admission round: the decode scan PLUS the whole admission as one
+  monolithic (A, T) prefill block in a single executable — prompt K/V
+  span-scattered into the big caches, first tokens sampled in-round.
+  Chosen whenever a*T <= block_token_budget (measured ~76% MXU vs ~30-50%
+  for scan-sliced prompt consumption).
+- scan-sliced mixed round: long prompts consume decode_chunk*npt tokens
+  per round inside the decode scan (bounded compile shapes).
+The loop is pipelined: the next admission's host prep (processor, embeds,
+staging uploads) runs while the current round executes on device.
 """
 from __future__ import annotations
 
