@@ -120,19 +120,35 @@ def bench_14b():
     from chatts_tpu.processor.processor import ChatTSProcessor
     from chatts_tpu.serve.scheduler import Request, SamplingParams, ServeEngine
 
+    tiny = os.environ.get("CHATTS_BENCH_TINY") == "1"  # CPU flow smoke
+    if tiny:
+        jax.config.update("jax_platforms", "cpu")
     log(f"[14B] devices: {jax.devices()}")
-    vocab = 152064
-    cfg = ChatTSConfig(
-        llm=QwenConfig(
-            vocab_size=vocab, hidden_size=5120, intermediate_size=13824,
-            num_hidden_layers=48, num_attention_heads=40,
-            num_key_value_heads=8, head_dim=128, rope_theta=1e6,
-            attention_bias=True, dtype="bfloat16",
-        ),
-        ts=TSEncoderConfig(patch_size=16, num_layers=5, hidden_size=5120,
-                           max_sequence_length=4096),
-        ts_token_start_index=vocab - 10,
-    )
+    vocab = 152064 if not tiny else 512
+    if tiny:
+        cfg = ChatTSConfig(
+            llm=QwenConfig(
+                vocab_size=vocab, hidden_size=128, intermediate_size=256,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=2, head_dim=32, rope_theta=1e6,
+                attention_bias=True, dtype="float32",
+            ),
+            ts=TSEncoderConfig(patch_size=16, num_layers=2, hidden_size=128,
+                               max_sequence_length=4096),
+            ts_token_start_index=vocab - 10,
+        )
+    else:
+        cfg = ChatTSConfig(
+            llm=QwenConfig(
+                vocab_size=vocab, hidden_size=5120, intermediate_size=13824,
+                num_hidden_layers=48, num_attention_heads=40,
+                num_key_value_heads=8, head_dim=128, rope_theta=1e6,
+                attention_bias=True, dtype="bfloat16",
+            ),
+            ts=TSEncoderConfig(patch_size=16, num_layers=5, hidden_size=5120,
+                               max_sequence_length=4096),
+            ts_token_start_index=vocab - 10,
+        )
 
     class _Tok:
         pad_token_id = 0
@@ -143,8 +159,15 @@ def bench_14b():
                     for w in text.split()]
 
     t0 = time.perf_counter()
-    params = quantize.init_quantized_params(cfg, jax.random.PRNGKey(0),
-                                            fused=True, bits=4)
+    if tiny:
+        from chatts_tpu.models import chatts
+
+        params = quantize.quantize_params(
+            chatts.init_params(cfg, jax.random.PRNGKey(0),
+                               dtype=jnp.float32), bits=4)
+    else:
+        params = quantize.init_quantized_params(cfg, jax.random.PRNGKey(0),
+                                                fused=True, bits=4)
     params = jax.block_until_ready(params)
     log(f"[14B] init int4 params: {time.perf_counter() - t0:.1f}s, "
         f"{quantize.param_bytes(params) / 1e9:.2f} GB on chip")
