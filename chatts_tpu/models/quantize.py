@@ -194,12 +194,19 @@ def init_quantized_params(cfg, key, fused: bool = True, bits: int = 8):
         if lcfg.qk_norm:
             layer["self_attn"]["q_norm"] = jnp.ones((d,), jnp.bfloat16)
             layer["self_attn"]["k_norm"] = jnp.ones((d,), jnp.bfloat16)
+        # Bound in-flight temporaries: async dispatch of a whole 14B-scale
+        # tree keeps every layer's RNG intermediates live at once and
+        # RESOURCE_EXHAUSTs a 16 GB chip during init (measured r3).
+        layer = jax.block_until_ready(layer)
         layers.append(layer)
 
     llm = {
         "embed_tokens": (
-            jax.random.normal(next(keys), (lcfg.vocab_size, hid)) * 0.02
-        ).astype(jnp.bfloat16),
+            # bf16 draw directly — an f32 (vocab, hid) temp is 3.1 GB at
+            # the 14B shape.
+            jax.random.normal(next(keys), (lcfg.vocab_size, hid),
+                              dtype=jnp.bfloat16) * jnp.bfloat16(0.02)
+        ),
         "layers": layers,
         "norm": jnp.ones((hid,), jnp.bfloat16),
         "lm_head_q": qdense(hid, lcfg.vocab_size, False),
