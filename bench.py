@@ -208,12 +208,21 @@ def bench_14b():
             break
         time.sleep(0.05)
     extra = []
-    for n_b in (8, 2, 1):
+    for n_b in (8, 4, 2, 1):
+        gate = time.time() + 300
+        while (len(engine._free_slots()) < n_b
+               or not engine.live_host.any()):
+            if time.time() > gate:
+                break
+            time.sleep(0.05)
         batch2 = [mkreq() for _ in range(n_b)]
         for r in batch2:
             engine.submit(r)
         extra += batch2
-        time.sleep(3)
+        while not engine.waiting.empty():
+            if time.time() > gate:
+                break
+            time.sleep(0.05)
     while any(r.finished_s is None and r.error is None for r in pre + extra):
         if time.time() > deadline:
             log("[14B] warmup timed out")
@@ -475,23 +484,35 @@ def main():
     for r in pre:
         engine.submit(r)
     deadline = time.time() + 900
-    # Once the cohort is decoding, lob in an extra bucket so the MIXED
-    # admission path (embed + fused step) also compiles at this bucket.
+    # Once the cohort is decoding, admit every block-admission family at
+    # THIS workload's compile keys (token bucket, series buckets): the
+    # engine-level warmup prompts land in a different token bucket (640 vs
+    # 512 measured r3), so its compiles never get reused here.  Each burst
+    # is GATED on n free slots + live decode so the wave actually admits
+    # as the (n)-row family instead of coalescing with whatever slots
+    # happen to free up (nondeterministic coverage put 13-17 s first-use
+    # compiles inside the r3b measurement window).
     while not any(r.output_tokens for r in pre):
         if time.time() > deadline:
             break
         time.sleep(0.05)
-    extra = [mkreq() for _ in range(8)]
-    for r in extra:
-        engine.submit(r)
-    # ... and the 4-/2-/1-row trickle families (steady-state replacements
-    # are mostly singles).
-    for n in (4, 2, 1):
-        time.sleep(3)
+    extra = []
+    for n in (8, 4, 2, 1):
+        gate = time.time() + 300
+        while (len(engine._free_slots()) < n
+               or not engine.live_host.any()):
+            if time.time() > gate:
+                log(f"workload warmup: family {n} gate timed out")
+                break
+            time.sleep(0.05)
         batch2 = [mkreq() for _ in range(n)]
         for r in batch2:
             engine.submit(r)
         extra += batch2
+        while not engine.waiting.empty():  # admitted before next family
+            if time.time() > gate:
+                break
+            time.sleep(0.05)
     while any(r.finished_s is None and r.error is None for r in pre + extra):
         if time.time() > deadline:
             log("workload warmup timed out")
