@@ -296,6 +296,45 @@ def test_sample_per_slot_semantics():
             assert int(toks[i]) in topk_sets[i]
 
 
+def test_block_admission_int8_kv_token_exact(engine_setup):
+    """Block-mode admission with an int8 KV cache: the admission's K/V AND
+    per-token scale buffers span-scatter into the 4-tuple caches; greedy
+    output must match the batch engine in int8 mode."""
+    import time
+
+    cfg, params, proc = engine_setup
+    from chatts_tpu.core.config import GenerationConfig
+    from chatts_tpu.runtime.engine import InferenceEngine
+
+    be = InferenceEngine(params, cfg, cache_dtype=jnp.int8, attn_impl="xla",
+                         fuse=False)
+
+    def expected(prompt, ts, n):
+        return be.generate(
+            proc([prompt], ts), GenerationConfig(max_new_tokens=n, greedy=True)
+        ).token_ids[0]
+
+    p1, t1 = "runner <ts><ts/> int8 kv", [np.arange(12.0)]
+    p2, t2 = "joins <ts><ts/> int8 kv", [np.sin(np.arange(8.0))]
+
+    with make_engine(engine_setup, cache_dtype=jnp.int8) as eng:
+        r1 = Request(p1, t1, SamplingParams(max_tokens=24, temperature=0.0))
+        eng.submit(r1)
+        deadline = time.time() + 60
+        while not r1.output_tokens:
+            assert time.time() < deadline
+            time.sleep(0.005)
+        r2 = Request(p2, t2, SamplingParams(max_tokens=6, temperature=0.0))
+        eng.submit(r2)
+        while any(r.finished_s is None and r.error is None for r in (r1, r2)):
+            assert time.time() < deadline
+            time.sleep(0.002)
+    assert r1.error is None and r2.error is None
+    assert eng.mixed_rounds_run > 0  # block round ran
+    assert r1.output_tokens == expected(p1, t1, 24)
+    assert r2.output_tokens == expected(p2, t2, 6)
+
+
 def test_chunked_admission_matches_monolithic(engine_setup):
     """Long prompts admitted in chunks must produce identical greedy output
     to the monolithic admission path (bf16-like and int8 KV)."""
