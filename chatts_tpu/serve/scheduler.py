@@ -1378,5 +1378,18 @@ class ServeEngine:
             "total_requests": self.total_requests,
             "total_output_tokens": self.total_output_tokens,
         }
+        # Round anatomy (device rounds by kind over the ring buffer).
+        import collections
+
+        agg: Dict[str, list] = collections.defaultdict(lambda: [0, 0.0, 0])
+        for kind, _adm, rnd, _live, _a, _npt, emitted in list(self.round_log):
+            g = agg[kind]
+            g[0] += 1
+            g[1] += rnd
+            g[2] += emitted
+        for kind, (n, rnd, emitted) in agg.items():
+            out[f"rounds_{kind}"] = n
+            out[f"round_{kind}_mean_ms"] = round(rnd / n * 1e3, 1)
+            out[f"round_{kind}_tokens"] = emitted
         out.update(self.metrics.summary())
         return out
