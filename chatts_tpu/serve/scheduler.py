@@ -503,6 +503,7 @@ class ServeEngine:
         mixed_admission: bool = True,
         mixed_npt: int = 64,
         prefill_act_int8: bool = False,
+        admission_bucket: int = 8,
     ):
         if fuse:
             params = chatts.maybe_fuse(params)
@@ -530,6 +531,11 @@ class ServeEngine:
         # decode scan step.
         self.mixed_admission = mixed_admission
         self.mixed_npt = mixed_npt
+        # Max rows per mixed/block admission wave (one compiled family per
+        # power-of-two step below it).  8 balances compile count against
+        # admission throughput; larger buckets admit more per round at the
+        # cost of TTFT staggering within the wave.
+        self._a_bucket_cfg = admission_bucket
         # int8xint8 prompt-side matmuls (v5e MXU 2x TOPS): halves the
         # FLOP floor of monolithic admission prefill.  Decode stays bf16.
         self.prefill_act_int8 = prefill_act_int8
@@ -538,7 +544,7 @@ class ServeEngine:
         # ~76% MXU on the prompt side); bigger admissions fall back to the
         # scan-sliced mixed step (bounded compiles / transient memory).
         self.block_token_budget = 8192
-        self._a_bucket = min(8, max_batch_size)
+        self._a_bucket = min(self._a_bucket_cfg, max_batch_size)
         self.attn_impl = attn_impl
         self.eos_token_ids = tuple(eos_token_ids)
         # Hoisted device constant: rebuilding it per round costs a tunnel
