@@ -120,6 +120,36 @@ def _tiny():
     return cfg, params
 
 
+def test_act_int8_prefill_first_token_agreement():
+    """int8-activation prefill changes only prompt-side numerics; the
+    decision that matters is the FIRST sampled token.  Across prompts on
+    the int8-quantized tiny model, greedy first tokens must agree with the
+    weight-only path at >=90% (the eval-score proxy available without real
+    checkpoints; per-token int8 with f32 scales is the same recipe the KV
+    cache uses at <1% error)."""
+    from chatts_tpu.core.config import GenerationConfig
+
+    cfg, params = _tiny()
+    qparams = quantize.quantize_params(params, bits=8)
+    proc = ChatTSProcessor(FakeTokenizer(vocab_limit=200), cfg)
+    eng_ref = InferenceEngine(qparams, cfg, fuse=False, attn_impl="xla",
+                              cache_dtype=jnp.float32)
+    eng_a8 = InferenceEngine(qparams, cfg, fuse=False, attn_impl="xla",
+                             cache_dtype=jnp.float32, prefill_act_int8=True)
+    rng = np.random.default_rng(0)
+    agree = total = 0
+    gen = GenerationConfig(max_new_tokens=1, greedy=True)
+    for i in range(20):
+        ts = rng.normal(0, 1 + i % 3, 16).cumsum()
+        prompt = f"sample {i} series <ts><ts/> describe the trend now"
+        batch = proc([prompt], [ts])
+        ref = eng_ref.generate(batch, gen).token_ids[0]
+        got = eng_a8.generate(batch, gen).token_ids[0]
+        agree += int(ref == got)
+        total += 1
+    assert agree / total >= 0.9, (agree, total)
+
+
 def test_quantize_params_bits4_forward_close():
     cfg, params = _tiny()
     qparams = quantize.quantize_params(params, bits=4)
