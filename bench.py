@@ -9,16 +9,21 @@ shape/capacity; int8 KV is the cap-6144 capacity play), ServeEngine at
 concurrency 32 with the fused mixed prefill+decode step (admissions never
 stall decode).
 
-Three measured phases (requests: two sp-encoded series of 256+512 points,
+Measured phases (requests: two sp-encoded series of 256+512 points,
 ~512-token prompts, greedy):
+  0. (subprocess, r3) ChatTS-14B shape int4 on the same chip: c8/c16
+     decode, single/burst TTFT, short saturated window — merged into the
+     final JSON under "chatts14b".
   A. decode-only tokens/sec at c32 (all slots live, no admissions) — the
      headline `value`, directly comparable to r1's 8B int8 2,230 tok/s.
   B. p50 TTFT at admission-burst 8 on a warm engine — r1's TTFT
      definition (a request prefills with its arrival burst).
+  B2. single-request TTFT on a warm idle engine (1-row admission bucket).
   C. saturated closed loop (finished requests replaced immediately;
-     admissions run through the fused mixed prefill+decode step against
-     live decode) — serving aggregate tok/s including ALL prefill FLOPs,
-     plus the under-load TTFT distribution.
+     admissions run as BLOCK rounds: decode scan + whole-admission
+     monolithic prefill in one executable) — serving aggregate tok/s
+     including ALL prefill FLOPs, the under-load TTFT distribution, and
+     the round-anatomy table (per-kind round counts/durations).
 
 Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
