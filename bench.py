@@ -351,19 +351,28 @@ def main():
 
         env = dict(os.environ, CHATTS_BENCH_14B="1")
         t0 = time.perf_counter()
-        try:
-            r = subprocess.run(
-                [sys.executable, __file__], env=env, capture_output=True,
-                text=True, timeout=2400,
-            )
-            sys.stderr.write(r.stderr[-4000:])
-            for line in r.stdout.strip().splitlines():
-                try:
-                    results_14b = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-        except subprocess.TimeoutExpired:
-            log("14B phase timed out; continuing with 8B phases")
+        # One retry: the tunneled chip intermittently degrades/wedges and a
+        # first attempt right after recovery has RESOURCE_EXHAUSTed once
+        # (r3) — a fresh process after a health re-probe succeeds.
+        for attempt in range(2):
+            try:
+                r = subprocess.run(
+                    [sys.executable, __file__], env=env, capture_output=True,
+                    text=True, timeout=2400,
+                )
+                sys.stderr.write(r.stderr[-4000:])
+                for line in r.stdout.strip().splitlines():
+                    try:
+                        results_14b = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+            except subprocess.TimeoutExpired:
+                log("14B phase timed out")
+            if results_14b:
+                break
+            if attempt == 0:
+                log("14B phase empty; re-probing chip and retrying once")
+                wait_for_healthy_chip(max_wait_s=600.0)
         log(f"14B phase: {time.perf_counter() - t0:.1f}s -> {results_14b}")
 
     import jax

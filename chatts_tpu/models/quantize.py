@@ -144,11 +144,27 @@ def init_quantized_params(cfg, key, fused: bool = True, bits: int = 8):
     def rand_int8(k, shape):
         # 4 int8 per uint32 of entropy: ~4x cheaper than randint (which
         # draws 32 bits per element) — init of an 8B-scale tree drops from
-        # minutes to tens of seconds on the device.
+        # minutes to tens of seconds on the device.  Very large draws (the
+        # 152k-vocab lm_head at 14B: 389 MB) go in bounded chunks, each
+        # synced so its ~3x-size RNG temporaries free before the next —
+        # peak transient memory stays ~100 MB instead of ~1.2 GB
+        # (RESOURCE_EXHAUSTED observed at 14B init, r3).
         n = int(np.prod(shape))
-        bits32 = jax.random.bits(k, ((n + 3) // 4,), jnp.uint32)
-        i8 = jax.lax.bitcast_convert_type(bits32, jnp.int8).reshape(-1)
-        return i8[:n].reshape(shape)
+        chunk_elems = 1 << 26  # 64 MB of int8 per chunk
+
+        def draw(kk, m):
+            bits32 = jax.random.bits(kk, ((m + 3) // 4,), jnp.uint32)
+            i8 = jax.lax.bitcast_convert_type(bits32, jnp.int8).reshape(-1)
+            return i8[:m]
+
+        if n <= chunk_elems:
+            return draw(k, n).reshape(shape)
+        parts = []
+        for i, kk in enumerate(jax.random.split(k, (n + chunk_elems - 1)
+                                                // chunk_elems)):
+            m = min(chunk_elems, n - i * chunk_elems)
+            parts.append(jax.block_until_ready(draw(kk, m)))
+        return jnp.concatenate(parts).reshape(shape)
 
     def qdense(fan_in, fan_out, bias):
         k = next(keys)
