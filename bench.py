@@ -675,13 +675,15 @@ def main():
         g[2] += round_s
         g[3] += emitted
         g[4] += live
-        if kind == "mixed":
-            fams[(a, npt)] += 1
+        if kind in ("mixed", "block"):
+            # mixed: (family, npt); block: (actual rows, padded family) —
+            # the block pair quantifies admission padding waste.
+            fams[(kind, a, npt)] += 1
     for kind, (n, adm, rnd, emit, live) in sorted(agg.items()):
         log(f"anatomy[{kind}]: n={n} admit_host={adm:.2f}s round={rnd:.2f}s "
             f"({rnd / max(n, 1) * 1e3:.0f} ms/round) emitted={emit} "
             f"mean_live={live / max(n, 1):.1f}")
-    log(f"anatomy mixed families (a, npt): {dict(fams)}")
+    log(f"anatomy families: {dict(fams)}")
     covered = sum(g[1] + g[2] for g in agg.values())
     log(f"anatomy: rounds cover {covered:.1f}s of {elapsed:.1f}s window "
         f"(gap {elapsed - covered:.1f}s = loop host work outside rounds)")

@@ -1205,8 +1205,11 @@ class ServeEngine:
         )
         self.mixed_rounds_run += 1
         self._pending_mixed = None
-        return ("block", packed, st, st["embeds"].shape[0],
-                st["embeds"].shape[1])
+        # Anatomy fields: actual admitted rows vs padded family size — the
+        # (kb, a) pair quantifies block-round padding waste (pad rows
+        # COMPUTE their full prompt FLOPs).
+        return ("block", packed, st, len(st["reqs"]),
+                st["embeds"].shape[0])
 
     def _dispatch_mixed(self):
         """Dispatch one fused serving round WITHOUT blocking: all decode
