@@ -213,7 +213,7 @@ def bench_14b():
             break
         time.sleep(0.05)
     extra = []
-    for n_b in (8, 4, 2, 1):
+    for n_b in (8, 6, 4, 3, 2, 1):
         gate = time.time() + 300
         while (len(engine._free_slots()) < n_b
                or not engine.live_host.any()):
@@ -511,7 +511,7 @@ def main():
             break
         time.sleep(0.05)
     extra = []
-    for n in (8, 4, 2, 1):
+    for n in (8, 6, 4, 3, 2, 1):
         gate = time.time() + 300
         while (len(engine._free_slots()) < n
                or not engine.live_host.any()):

@@ -672,7 +672,9 @@ class ServeEngine:
             prompt = f"{words} {holes}"
             # Full burst compiles the max-row admission shape; the trailing
             # small bursts compile the 8-, 2- and 1-row shapes used for
-            # trickle / single-request traffic.
+            # trickle / single-request traffic.  (These waves run with no
+            # live decode, so they exercise the MONOLITHIC bp families —
+            # the block families compile in _warmup_mixed.)
             bursts = [self.max_batch_size]
             if self.max_batch_size > 8:
                 bursts.append(4)
@@ -755,10 +757,13 @@ class ServeEngine:
             return True
 
         for bucket in sorted(prefill_buckets):
-            # Every admission-row family: the full bucket (bursts) plus the
-            # 4- and 2-row families (steady-state trickle replacements).
-            for rows in sorted({self._a_bucket, min(4, self._a_bucket),
-                                min(2, self._a_bucket), 1}, reverse=True):
+            # Every block-admission row family (the {1,2,3,4,6,8} ladder
+            # capped at the bucket): steady-state replacement traffic lands
+            # on all of them, and a first-use compile mid-serving is a
+            # 13-17 s stall (measured r3).
+            fams = {self._block_family(n)
+                    for n in range(1, self._a_bucket + 1)}
+            for rows in sorted(fams, reverse=True):
                 if not ensure_runner():
                     return
                 words = " ".join("warm" for _ in range(max(1, bucket - 64)))
@@ -1066,6 +1071,17 @@ class ServeEngine:
         t_pad = -(-t // c) * c
         return a, npt, c, t_pad
 
+    def _block_family(self, n_reqs: int) -> int:
+        """Padded row count for a block-mode admission.  The ladder
+        {1,2,3,4,6,8} caps padding at ONE row (pad rows COMPUTE their full
+        T-token prompt FLOPs: at saturation churn ~5 requests/round, the
+        old {1,2,4,8} ladder padded 5->8 and burned ~33% of every block's
+        prompt work) at the cost of two extra compiled block shapes."""
+        for f in (1, 2, 3, 4, 6):
+            if n_reqs <= f < self._a_bucket:
+                return f
+        return self._a_bucket
+
     def _block_eligible(self, n_reqs: int, t: int) -> bool:
         """Whether an admission takes the block-mode round (decode scan +
         monolithic prompt block): the whole prompt must fit the cache and
@@ -1074,8 +1090,7 @@ class ServeEngine:
         scan-sliced path (that's the bounded-compile contract)."""
         if self.prefill_chunk is not None and t > self.prefill_chunk:
             return False
-        a = (1 if n_reqs <= 1 else 2 if n_reqs <= 2
-             else 4 if n_reqs <= 4 else self._a_bucket)
+        a = self._block_family(n_reqs)
         return (a * t <= self.block_token_budget
                 and t <= self.caches[0][0].shape[2])
 
@@ -1151,8 +1166,7 @@ class ServeEngine:
         once; the next round runs the decode scan AND the whole (A, T)
         prompt block in one executable (_block_admission_round)."""
         kb, t = batch.input_ids.shape
-        a = (1 if len(reqs) <= 1 else 2 if len(reqs) <= 2
-             else 4 if len(reqs) <= 4 else self._a_bucket)
+        a = self._block_family(len(reqs))
         assert kb == len(reqs) <= a, (kb, len(reqs), a)
         input_ids = np.full((a, t), self.processor.pad_token_id, np.int32)
         input_ids[:kb] = batch.input_ids
