@@ -183,6 +183,56 @@ def _dense(x: jnp.ndarray, layer: Dict[str, jnp.ndarray],
 # Decoder layer
 # ---------------------------------------------------------------------------
 
+def _decode_attention_recent(
+    q1: jnp.ndarray,  # (B, 1, H, D) single-token queries
+    cache,  # big-cache layer tuple (2-tuple bf16/f32 or 4-tuple int8)
+    rk: jnp.ndarray,  # (B, KVH, C, D) this chunk's keys (compute dtype)
+    rv: jnp.ndarray,  # (B, KVH, C, D)
+    rec_valid: jnp.ndarray,  # (C,) bool — steps written so far (incl. self)
+    base_valid: jnp.ndarray,  # (B, S) bool — cache validity, STATIC per chunk
+    cfg: QwenConfig,
+) -> jnp.ndarray:
+    """Two-piece decode attention for recent-KV mode: scores over the big
+    cache (positions < chunk-start length) and over the chunk-local recent
+    buffer, softmaxed together over the concatenated axis (numerics match
+    ops.attention.mha_reference: f32 scores/softmax, value-dtype prob
+    einsum).  The cache piece reads head-major (B, KVH, S, D) directly —
+    no swapaxes view."""
+    b, _, h, d = q1.shape
+    kvh = cfg.num_key_value_heads
+    g = h // kvh
+    scale = d ** -0.5
+    neg_inf = float(np.finfo(np.float32).min)
+    int8_kv = len(cache) == 4
+    if int8_kv:
+        k_full, v_full, k_scale, v_scale = cache
+        k_attn = (k_full.astype(jnp.float32) * k_scale[..., None]).astype(q1.dtype)
+        v_attn = (v_full.astype(jnp.float32) * v_scale[..., None]).astype(q1.dtype)
+    else:
+        k_attn, v_attn = cache
+    qg = q1[:, 0].reshape(b, kvh, g, d)
+    s1 = jnp.einsum(
+        "bkgd,bksd->bkgs", qg, k_attn.astype(q1.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.float32) * scale
+    s2 = jnp.einsum(
+        "bkgd,bkcd->bkgc", qg, rk.astype(q1.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.float32) * scale
+    s1 = jnp.where(base_valid[:, None, None, :], s1, neg_inf)
+    s2 = jnp.where(rec_valid[None, None, None, :], s2, neg_inf)
+    probs = jax.nn.softmax(jnp.concatenate([s1, s2], axis=-1), axis=-1)
+    p1, p2 = jnp.split(probs, [s1.shape[-1]], axis=-1)
+    out = jnp.einsum(
+        "bkgs,bksd->bkgd", p1.astype(v_attn.dtype), v_attn,
+        preferred_element_type=jnp.float32,
+    ) + jnp.einsum(
+        "bkgc,bkcd->bkgd", p2.astype(rv.dtype), rv,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, 1, h, d).astype(q1.dtype)
+
+
 def attention_block(
     layer_params: Dict[str, Any],
     x: jnp.ndarray,  # (B, T, hidden)
@@ -198,6 +248,7 @@ def attention_block(
     kv_limit: Optional[int] = None,
     mesh=None,
     act_int8: bool = False,
+    recent=None,  # (rk, rv, rec_idx, rec_valid) — chunk-local KV mode
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     b, t, _ = x.shape
     h, kvh, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -242,6 +293,24 @@ def attention_block(
             k_scale = v_scale = None
         kt = jnp.swapaxes(k, 1, 2)  # (B, KVH, T, D)
         vt = jnp.swapaxes(v, 1, 2)
+        if recent is not None:
+            # Recent-KV decode mode (t == 1): the new token's K/V lands in
+            # a chunk-local buffer at a UNIFORM step index (one cheap
+            # dynamic_update_slice) instead of a per-(row, head) element
+            # scatter into the big cache (~0.16 us per update on v5e —
+            # ~1.1 ms of a b32 8B decode step across 28 layers).  The big
+            # cache stays untouched during the chunk; the engine merges the
+            # recent buffers back as span windows once per chunk
+            # (merge_recent_kv).  Attention reads cache + recent two-piece.
+            rk, rv, rec_idx, rec_valid = recent
+            rk = jax.lax.dynamic_update_slice(
+                rk, kt.astype(rk.dtype), (0, 0, rec_idx, 0))
+            rv = jax.lax.dynamic_update_slice(
+                rv, vt.astype(rv.dtype), (0, 0, rec_idx, 0))
+            out = _decode_attention_recent(
+                q, kv_cache, rk, rv, rec_valid, kv_valid, cfg)
+            out = out.reshape(b, t, h * d)
+            return _dense(out, p["o_proj"], mesh, "row", act_int8), (rk, rv)
         if int8_kv:
             kt, kt_s = _quantize_kv(kt)
             vt, vt_s = _quantize_kv(vt)
@@ -428,12 +497,13 @@ def decoder_layer(
     kv_limit=None,
     mesh=None,
     act_int8: bool = False,
+    recent=None,
 ):
     attn_in = rms_norm(x, layer_params["input_layernorm"], cfg.rms_norm_eps)
     attn_out, new_cache = attention_block(
         layer_params["self_attn"], attn_in, positions, cfg,
         kv_cache, write_pos, kv_valid, kv_positions, attn_impl, kv_lengths,
-        rope, kv_limit, mesh, act_int8,
+        rope, kv_limit, mesh, act_int8, recent,
     )
     x = x + attn_out
     mlp_in = rms_norm(x, layer_params["post_attention_layernorm"], cfg.rms_norm_eps)
@@ -775,11 +845,19 @@ def forward(
     kv_limit: Optional[int] = None,
     mesh=None,
     act_int8: bool = False,
+    recents=None,  # per-layer [(rk, rv)] — recent-KV decode mode
+    rec_idx=None,  # traced scalar: step index within the chunk
+    rec_valid=None,  # (C,) bool: steps written so far (incl. this one)
 ) -> Tuple[jnp.ndarray, Optional[List[Tuple[jnp.ndarray, jnp.ndarray]]]]:
     """Run the decoder stack. Returns (hidden (B,T,H), updated kv caches).
 
     Without a cache, attention is self-contained over the T block: kv_valid
     and kv_positions default to the query's own positions.
+
+    Recent-KV mode (recents is not None, single-token decode): kv caches
+    are READ-ONLY (kv_valid must be the chunk-start validity) and the
+    second return value is the UPDATED RECENTS list instead of caches —
+    the caller owns the once-per-chunk merge (merge_recent_kv).
     """
     b, t, _ = inputs_embeds.shape
     if kv_caches is None:
@@ -797,15 +875,50 @@ def forward(
     )
     for i, layer_params in enumerate(params["layers"]):
         cache_i = kv_caches[i] if kv_caches is not None else None
+        recent_i = None
+        if recents is not None:
+            recent_i = (recents[i][0], recents[i][1], rec_idx, rec_valid)
         x, new_cache = decoder_layer(
             layer_params, x, positions, cfg,
             cache_i, write_pos, kv_valid, kv_positions, attn_impl, kv_lengths,
-            rope, kv_limit, mesh, act_int8,
+            rope, kv_limit, mesh, act_int8, recent_i,
         )
         if new_caches is not None:
             new_caches.append(new_cache)
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     return x, new_caches
+
+
+def merge_recent_kv(caches, recents, rows, starts):
+    """Merge chunk-local recent K/V buffers into the big head-major caches:
+    one (KVH, C[, D]) span-window scatter per buffer per layer (the
+    multi-token form element scatters lose to; see _scatter_token_spans).
+
+    rows: (B,) cache row per recent row — route inactive rows out of bounds
+    (their windows drop whole).  starts: (B,) chunk-start lengths.  Windows
+    that would cross the cache capacity belong to rows whose request
+    necessarily finished inside the chunk (admission guarantees
+    prompt+max_tokens <= capacity), so FILL_OR_DROP dropping them whole
+    never loses K/V that a later step could read.  int8 caches quantize the
+    recent window with the same per-(row, head, position) scales the
+    per-step path uses."""
+    out = []
+    for big, (rk, rv) in zip(caches, recents):
+        if len(big) == 4:
+            k_q, k_s = _quantize_kv(rk)
+            v_q, v_s = _quantize_kv(rv)
+            out.append((
+                _scatter_token_spans(big[0], k_q, rows, starts),
+                _scatter_token_spans(big[1], v_q, rows, starts),
+                _scatter_token_spans(big[2], k_s, rows, starts),
+                _scatter_token_spans(big[3], v_s, rows, starts),
+            ))
+        else:
+            out.append((
+                _scatter_token_spans(big[0], rk, rows, starts),
+                _scatter_token_spans(big[1], rv, rows, starts),
+            ))
+    return out
 
 
 def compute_logits(params: Params, cfg: QwenConfig, hidden: jnp.ndarray,

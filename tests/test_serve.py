@@ -3,6 +3,7 @@ CPU).  The multi-request interleaving here is the analog of the reference's
 informal batch probe (demo_vllm.py:55-59) made into a real test."""
 import json
 import threading
+import time
 import urllib.request
 
 import jax
@@ -605,3 +606,36 @@ def test_mixed_plan_right_sizes_admissions(engine_setup):
         a, npt, c, t_pad = eng._mixed_plan(8, 4096)
         assert eng.max_batch_size + a * npt <= 512
         assert t_pad >= 4096 and t_pad % c == 0
+
+
+@pytest.mark.parametrize("cache_dtype", ["f32", "int8"])
+def test_recent_kv_decode_matches_per_step_scatter(engine_setup, monkeypatch,
+                                                   cache_dtype):
+    """The recent-KV decode mode (chunk-local K/V buffer + two-piece
+    attention + one span-window merge per chunk) must be token-exact
+    against the per-step element-scatter path — across chunk boundaries,
+    staggered finishes, and int8 KV quantization.  Tokens beyond the first
+    chunk read the merged cache, so agreement here pins the merge too."""
+    from chatts_tpu.serve import scheduler as sched_mod
+
+    cfg, params, proc = engine_setup
+    dt = jnp.float32 if cache_dtype == "f32" else jnp.int8
+    prompts = [(f"req {i} <ts><ts/>", [np.arange(8.0) * (i + 1)],
+                SamplingParams(max_tokens=3 + 3 * i, temperature=0.0))
+               for i in range(4)]
+
+    def run(force_recent):
+        monkeypatch.setattr(sched_mod, "_recent_mode_ok",
+                            lambda *a: force_recent)
+        with make_engine(engine_setup, cache_dtype=dt) as eng:
+            reqs = [Request(p, ts, sp) for p, ts, sp in prompts]
+            for r in reqs:
+                eng.submit(r)
+            deadline = time.time() + 120
+            while (any(r.finished_s is None and r.error is None
+                       for r in reqs) and time.time() < deadline):
+                time.sleep(0.02)
+            assert all(r.error is None for r in reqs)
+            return [r.output_tokens for r in reqs]
+
+    assert run(True) == run(False)
