@@ -461,7 +461,9 @@ def main():
         # chunk 32 amortizes the tunnel dispatch + host gap (measured
         # 13.67 vs 14.67 ms/tok raw at b32); streaming granularity and
         # saturated TTFT give back ~0.2 s, which phase C reports honestly.
-        decode_chunk=32,
+        # With the recent-KV scan the per-step cost is low enough that a
+        # longer chunk also lifts saturated tokens/round — A/B via env.
+        decode_chunk=int(os.environ.get("CHATTS_BENCH_CHUNK", "32")),
         fuse=False,
         # int8-activation prompt matmuls (v5e MXU int8 = 2x bf16 TOPS).
         prefill_act_int8=os.environ.get("CHATTS_BENCH_A8", "0") == "1",
