@@ -304,6 +304,8 @@ def bench_14b():
 
     # saturated closed loop, 25 s window
     stop = threading.Event()
+    err_count = [0]
+    first_err = [None]
 
     def loadgen():
         inflight = [mkreq() for _ in range(concurrency)]
@@ -312,6 +314,10 @@ def bench_14b():
         while not stop.is_set():
             for i, r in enumerate(inflight):
                 if r.finished_s is not None or r.error is not None:
+                    if r.error is not None:
+                        err_count[0] += 1
+                        if first_err[0] is None:
+                            first_err[0] = str(r.error)[:200]
                     nr = mkreq()
                     engine.submit(nr)
                     inflight[i] = nr
@@ -319,7 +325,14 @@ def bench_14b():
 
     gen = threading.Thread(target=loadgen, daemon=True)
     gen.start()
-    time.sleep(15)
+    # Gate the window on actual streaming progress (a cold block-family
+    # compile at the 14B shape can exceed a blind warmup sleep).
+    base0 = engine.streamed_tokens
+    gate = time.time() + 240
+    while engine.streamed_tokens < base0 + 500 and time.time() < gate:
+        time.sleep(0.5)
+    log(f"[14B] saturated ramp: +{engine.streamed_tokens - base0} tokens, "
+        f"stats={engine.stats()}")
     base = engine.streamed_tokens
     w0 = time.perf_counter()
     time.sleep(25)
@@ -327,7 +340,9 @@ def bench_14b():
     stop.set()
     gen.join(timeout=10)
     out["serving_agg_tps"] = round(agg, 1)
-    log(f"[14B] saturated aggregate: {agg:.0f} tok/s")
+    log(f"[14B] saturated aggregate: {agg:.0f} tok/s; "
+        f"errors={err_count[0]} first_err={first_err[0]}; "
+        f"stats={engine.stats()}")
     engine.stop()
     print(json.dumps(out))
 
