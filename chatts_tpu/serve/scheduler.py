@@ -477,11 +477,13 @@ def _block_admission_round(
     adm_seq_lens,  # (A,)
     adm_temp,  # (A,)
     adm_topp,  # (A,)
+    adm_budget,  # (A,) int32 — max_tokens per admission row (pads 0)
     rng,
     mesh=None,
 ):
-    """One serving round = the full decode scan PLUS the ENTIRE admission
-    prefilled as one monolithic (A, T) block — a single jit'd executable.
+    """One serving round = the ENTIRE admission prefilled as one monolithic
+    (A, T) block, THEN the full decode scan with the admitted rows LIVE —
+    a single jit'd executable.
 
     Why a block instead of slicing the prompt across the decode scan
     (_mixed_step_all_slots): measured on chip (r3 anatomy), the scan-sliced
@@ -494,19 +496,20 @@ def _block_admission_round(
     span-window scatters, and the admission's first tokens are sampled
     in-round — one dispatch, one fetch.
 
+    Why prompt-first (r3, second redesign): with the scan first, an
+    admitted slot sat occupied-but-idle for the whole chunk of its
+    admission round — ~32 of a ~160-step slot lifecycle at the bench
+    workload, the dominant term in mean_live 22/32 at saturation.  Running
+    the block first lets the same round's scan decode the new rows
+    (chunk extra tokens per admitted row for ~zero extra round time: the
+    scan cost is set by the static B, not by how many rows are live).
+
     The scan-sliced path remains for prompts too long to block-prefill
     (bounded compiles / transient memory; ServeEngine._start_mixed_admission
     picks the mode)."""
     b = tokens.shape[0]
     a, t, hdim = adm_embeds.shape
-    # 1. Decode scan (admission slots are inactive: their stale-position
-    # element writes land in their own rows but only at positions the new
-    # request will overwrite before reading).
-    caches, tokens, cur_lens, budget_left, rng, emitted, live = _decode_scan(
-        params, cfg, attn_impl, chunk_size, caches, tokens, cur_lens,
-        active, temperature, top_p, eos_ids, budget_left, rng, mesh,
-    )
-    # 2. Monolithic prompt block: self-contained causal prefill over T.
+    # 1. Monolithic prompt block: self-contained causal prefill over T.
     positions = jnp.tile(jnp.arange(t, dtype=jnp.int32)[None], (a, 1))
     kv_valid = positions < adm_seq_lens[:, None]
     int8_kv = len(caches[0]) == 4
@@ -528,7 +531,7 @@ def _block_admission_round(
         kv_valid=kv_valid, kv_positions=positions,
         attn_impl=attn_impl, mesh=mesh, act_int8=act_int8,
     )
-    # 3. Place prompt K/V into the big caches: one span-window scatter per
+    # 2. Place prompt K/V into the big caches: one span-window scatter per
     # buffer per layer (pad rows routed out of bounds drop whole windows).
     rows = adm_write_rows.astype(jnp.int32)
     new_caches = []
@@ -538,7 +541,8 @@ def _block_admission_round(
             updated.append(qwen._scatter_token_spans(
                 bbuf, sbuf.astype(bbuf.dtype), rows, jnp.int32(0)))
         new_caches.append(tuple(updated))
-    # 4. First token for each admission row.
+    caches = new_caches
+    # 3. First token for each admission row.
     last = jnp.take_along_axis(
         hidden,
         jnp.maximum(adm_seq_lens - 1, 0)[:, None, None].astype(jnp.int32),
@@ -550,12 +554,33 @@ def _block_admission_round(
     first_b = jnp.full((b,), -1, jnp.int32)
     first_b = jax.lax.dynamic_update_slice(first_b, first.astype(jnp.int32),
                                            (0,))
+    # 4. Merge the admitted rows into the decode state (A-element scatters
+    # on (B,) vectors — trivial) so this round's scan decodes them too.
+    # Device liveness uses the GLOBAL eos set, a subset of every request's
+    # host-side set (host _finalize/_process remain authoritative; device
+    # over-decode is discarded there).
+    first_eos = jnp.any(first[:, None] == eos_ids[None, :], axis=1)
+    adm_live = (~first_eos) & (adm_budget > 1)
+    tokens = tokens.at[rows].set(first.astype(tokens.dtype), mode="drop")
+    cur_lens = cur_lens.at[rows].set(
+        adm_seq_lens.astype(cur_lens.dtype), mode="drop")
+    temperature = temperature.at[rows].set(adm_temp, mode="drop")
+    top_p = top_p.at[rows].set(adm_topp, mode="drop")
+    budget_left = budget_left.at[rows].set(
+        (adm_budget - 1).astype(budget_left.dtype), mode="drop")
+    active = active.at[rows].set(adm_live, mode="drop")
+    # 5. The decode scan, admitted rows live from step 0.
+    caches, tokens, cur_lens, budget_left, rng, emitted, live = _decode_scan(
+        params, cfg, attn_impl, chunk_size, caches, tokens, cur_lens,
+        active, temperature, top_p, eos_ids, budget_left, rng, mesh,
+    )
     # packed: (B, chunk+2) — emitted tokens, live flag, first-token column.
     packed = jnp.concatenate(
         [emitted.T.astype(jnp.int32), live.astype(jnp.int32)[:, None],
          first_b[:, None]],
         axis=1)
-    return new_caches, tokens, cur_lens, budget_left, rng, packed
+    return (caches, tokens, cur_lens, budget_left, temperature, top_p,
+            rng, packed)
 
 
 class ServeEngine:
@@ -1086,19 +1111,27 @@ class ServeEngine:
         )
         self._finalize_admission(reqs, slots, keep_rows, first)
 
-    def _finalize_admission(self, reqs, slots, keep_rows, first) -> None:
+    def _finalize_admission(self, reqs, slots, keep_rows, first,
+                            device_synced: bool = False) -> None:
+        """Host bookkeeping for an admission's first tokens.
+
+        device_synced=True (block-mode rounds): the round's executable
+        already merged tokens/cur_lens/temperature/top_p/budget for the
+        admitted rows on device, so only host state (slot records,
+        live_host, streams) updates here.  Otherwise (scan-sliced mixed
+        path) the device state is batched into ONE host->device round trip
+        per array: per-slot .at[].set dispatches (5 arrays x 32 slots) used
+        to queue ~160 tiny device ops per admission, stalling the next
+        decode round by ~0.6 s (measured on v5e)."""
         first_host = np.asarray(first)
         now = time.perf_counter()
 
-        # Batch the per-slot state updates into ONE host->device round trip
-        # per array: per-slot .at[].set dispatches (5 arrays x 32 slots) used
-        # to queue ~160 tiny device ops per admission, stalling the next
-        # decode round by ~0.6 s (measured on v5e).
-        tokens_h = np.array(self.tokens)
-        cur_h = np.array(self.cur_lens)
-        temp_h = np.array(self.temperature)
-        topp_h = np.array(self.top_p)
-        budget_h = np.array(self.budget)
+        if not device_synced:
+            tokens_h = np.array(self.tokens)
+            cur_h = np.array(self.cur_lens)
+            temp_h = np.array(self.temperature)
+            topp_h = np.array(self.top_p)
+            budget_h = np.array(self.budget)
         for req, slot, row in zip(reqs, slots, keep_rows):
             tok = int(first_host[row])
             req.first_token_s = now
@@ -1116,16 +1149,19 @@ class ServeEngine:
             req.output_tokens.append(tok)
             req.stream_queue.put([tok])
             self.live_host[slot] = True
+            if device_synced:
+                continue
             tokens_h[slot] = tok
             cur_h[slot] = req.prompt_tokens
             temp_h[slot] = req.params.temperature
             topp_h[slot] = req.params.top_p
             budget_h[slot] = req.params.max_tokens - 1
-        self.tokens = jnp.asarray(tokens_h)
-        self.cur_lens = jnp.asarray(cur_h)
-        self.temperature = jnp.asarray(temp_h)
-        self.top_p = jnp.asarray(topp_h)
-        self.budget = jnp.asarray(budget_h)
+        if not device_synced:
+            self.tokens = jnp.asarray(tokens_h)
+            self.cur_lens = jnp.asarray(cur_h)
+            self.temperature = jnp.asarray(temp_h)
+            self.top_p = jnp.asarray(topp_h)
+            self.budget = jnp.asarray(budget_h)
 
     def _mixed_plan(self, n_reqs: int, t: int):
         """Size a mixed admission: (row family a, tokens-per-row-per-step
@@ -1262,11 +1298,13 @@ class ServeEngine:
         )
         temp = np.zeros((a,), np.float32)
         topp = np.ones((a,), np.float32)
+        budget = np.zeros((a,), np.int32)
         for req, slot, row in zip(reqs, slots, keep_rows):
             seq_lens[row] = req.prompt_tokens
             adm_write_rows[row] = slot
             temp[row] = req.params.temperature
             topp[row] = req.params.top_p
+            budget[row] = req.params.max_tokens
             self.slots[slot] = req  # reserve; live after the first token
         self._pending_mixed = {
             "mode": "block",
@@ -1275,6 +1313,7 @@ class ServeEngine:
             "write_rows": jnp.asarray(adm_write_rows),
             "seq_dev": jnp.asarray(seq_lens),
             "temp": jnp.asarray(temp), "topp": jnp.asarray(topp),
+            "budget_a": jnp.asarray(budget),
         }
 
     def _dispatch_block(self):
@@ -1282,7 +1321,7 @@ class ServeEngine:
         active = self._active_device()
         (
             self.caches, self.tokens, self.cur_lens, self.budget,
-            self.rng, packed,
+            self.temperature, self.top_p, self.rng, packed,
         ) = self._block_jit(
             self.params, self.cfg, self.attn_impl, self.prefill_act_int8,
             self.decode_chunk,
@@ -1290,7 +1329,7 @@ class ServeEngine:
             self.temperature, self.top_p,
             self._eos_dev, self.budget,
             st["write_rows"], st["embeds"], st["seq_dev"],
-            st["temp"], st["topp"], self.rng,
+            st["temp"], st["topp"], st["budget_a"], self.rng,
             mesh=self.mesh,
         )
         self.mixed_rounds_run += 1
@@ -1346,10 +1385,14 @@ class ServeEngine:
         arr = np.asarray(packed)
         if kind == "block":
             # (B, chunk+2): emitted | live | first-token column (sampled
-            # in-round — no extra device call or fetch).
-            self._process_emitted(arr[:, :-2], arr[:, -2].astype(bool))
+            # in-round — no extra device call or fetch).  Finalize FIRST:
+            # the scan already decoded the admitted rows this round, so
+            # their slots must be live_host before _process_emitted appends
+            # their scan tokens (after the finalize-appended first token).
             self._finalize_admission(finalize["reqs"], finalize["slots"],
-                                     finalize["keep_rows"], arr[:, -1])
+                                     finalize["keep_rows"], arr[:, -1],
+                                     device_synced=True)
+            self._process_emitted(arr[:, :-2], arr[:, -2].astype(bool))
             return
         self._process_emitted(arr[:, :-1], arr[:, -1].astype(bool))
         if finalize is not None:
