@@ -1498,10 +1498,14 @@ class ServeEngine:
                 if handle is not None:
                     fin0 = self._finished_total
                     self._complete_round(handle)
+                    # Block rounds decode their admitted rows in the same
+                    # round (admit-then-decode), so they count as live.
+                    rows_live = n_live + (
+                        handle[3] if handle[0] == "block" else 0)
                     self.round_log.append((
                         handle[0], t_admit - t_disp,
                         time.perf_counter() - t0 - (t_admit - t_disp),
-                        n_live, handle[3], handle[4],
+                        rows_live, handle[3], handle[4],
                         self.streamed_tokens - tok0))
                     # Churn fix: this round freed slots — their replacements
                     # are being submitted RIGHT NOW by callers reacting to
