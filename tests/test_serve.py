@@ -336,6 +336,40 @@ def test_block_admission_int8_kv_token_exact(engine_setup):
     assert r2.output_tokens == expected(p2, t2, 6)
 
 
+def test_block_admission_decodes_in_its_own_round(engine_setup):
+    """Admit-then-decode: a block-mode admission's request must stream
+    1 + decode_chunk tokens the moment its admission round completes —
+    the scan runs AFTER the prompt block with the new rows live, so the
+    slot never idles its admission round (the old scan-first design left
+    it at exactly 1 token until the NEXT round).  Pinned via the stream
+    queue: the admission round delivers [first] then its own scan chunk."""
+    import time
+
+    with make_engine(engine_setup, decode_chunk=4) as eng:
+        anchor = Request("anchor <ts><ts/> decodes", [np.arange(8.0)],
+                         SamplingParams(max_tokens=40, temperature=0.0))
+        eng.submit(anchor)
+        deadline = time.time() + 60
+        while not anchor.output_tokens:
+            assert time.time() < deadline
+            time.sleep(0.005)
+        newcomer = Request("newcomer <ts><ts/> joins", [np.arange(8.0)],
+                           SamplingParams(max_tokens=30, temperature=0.0))
+        eng.submit(newcomer)
+        first_delivery = newcomer.stream_queue.get(timeout=30)
+        second_delivery = newcomer.stream_queue.get(timeout=30)
+        while newcomer.finished_s is None and newcomer.error is None:
+            assert time.time() < deadline
+            time.sleep(0.002)
+        anchor.cancel()
+    assert newcomer.error is None
+    assert first_delivery == newcomer.output_tokens[:1]
+    # The second delivery is the admission round's OWN scan output — a
+    # full 4-token chunk, not the next round's.
+    assert second_delivery == newcomer.output_tokens[1:5]
+    assert len(newcomer.output_tokens) == 30
+
+
 def test_chunked_admission_matches_monolithic(engine_setup):
     """Long prompts admitted in chunks must produce identical greedy output
     to the monolithic admission path (bf16-like and int8 KV)."""
