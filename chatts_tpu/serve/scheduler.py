@@ -1476,54 +1476,57 @@ class ServeEngine:
                 self._finish(slot, finished)
 
     def _loop(self) -> None:
-        """Pipelined engine loop: dispatch the device round FIRST (JAX
-        dispatch is async), then do the next admission's host prep
-        (processor, embeds, staging uploads) while the round runs on
-        device, then block on the round's result.  Double-buffered
-        admissions — at steady state the device never idles on admission
-        host work (VERDICT r2 item 1)."""
+        """Engine loop: dispatch the device round, block on its result,
+        THEN stage the next admission (complete -> admit -> dispatch).
+
+        Admission staging runs AFTER round completion on purpose: the
+        staged block admission dispatches as the very next round, and —
+        admit-then-decode — its rows decode in that round, so a slot freed
+        in round N is decoding its replacement in round N+1.  The previous
+        pipelined order (stage before completing the in-flight round)
+        overlapped ~10-30 ms of admission host prep with the device round
+        but staged BEFORE round N's finishes were visible, so every
+        replacement missed a full extra round (~32 slot-steps per churn
+        row, ~5 rows/round at saturation — the bulk of mean_live 22/32).
+        A bounded grace (admit_grace_s) after a round that freed slots
+        lets closed-loop clients' replacement submissions land in the
+        same admission wave."""
         while not self._stop.is_set():
             try:
                 t0 = time.perf_counter()
                 n_live = int(self.live_host.sum())
                 tok0 = self.streamed_tokens
                 handle = self._dispatch_round()
-                t_disp = time.perf_counter()
+                if handle is None:
+                    if not self.waiting.empty():
+                        # Idle device: monolithic admission (or staging of
+                        # a long-prompt mixed admission) runs here.
+                        self._admit()
+                    elif (self._pending_mixed is None
+                          and not self.live_host.any()):
+                        self._wake.wait(timeout=0.05)
+                        self._wake.clear()
+                    continue
+                fin0 = self._finished_total
+                self._complete_round(handle)
+                t_done = time.perf_counter()
                 if self._pending_mixed is None:
-                    # Overlaps the in-flight round.  Slots freed by that
-                    # round aren't visible yet (their results are still on
-                    # device) — they become admissible next iteration.
-                    self._admit()
-                t_admit = time.perf_counter()
-                if handle is not None:
-                    fin0 = self._finished_total
-                    self._complete_round(handle)
-                    # Block rounds decode their admitted rows in the same
-                    # round (admit-then-decode), so they count as live.
-                    rows_live = n_live + (
-                        handle[3] if handle[0] == "block" else 0)
-                    self.round_log.append((
-                        handle[0], t_admit - t_disp,
-                        time.perf_counter() - t0 - (t_admit - t_disp),
-                        rows_live, handle[3], handle[4],
-                        self.streamed_tokens - tok0))
-                    # Churn fix: this round freed slots — their replacements
-                    # are being submitted RIGHT NOW by callers reacting to
-                    # the completions.  Without this second admission pass
-                    # they would miss the next round entirely (the loop
-                    # turns around in microseconds) and the freed slots
-                    # would idle whole rounds at saturation.
-                    if (self._pending_mixed is None
-                            and self._finished_total > fin0):
+                    if self._finished_total > fin0:
                         grace = time.perf_counter() + self.admit_grace_s
                         while (self.waiting.empty()
                                and time.perf_counter() < grace):
                             time.sleep(0.0005)
-                        if not self.waiting.empty():
-                            self._admit()
-                elif self._pending_mixed is None and not self.live_host.any():
-                    self._wake.wait(timeout=0.05)
-                    self._wake.clear()
+                    if not self.waiting.empty():
+                        self._admit()
+                # Block rounds decode their admitted rows in the same
+                # round (admit-then-decode), so they count as live.
+                rows_live = n_live + (
+                    handle[3] if handle[0] == "block" else 0)
+                self.round_log.append((
+                    handle[0], time.perf_counter() - t_done,
+                    t_done - t0,
+                    rows_live, handle[3], handle[4],
+                    self.streamed_tokens - tok0))
             except Exception as err:  # engine must survive a bad step:
                 # fail every in-flight request with the error and keep
                 # serving (the reference's worker pool dies silently here —
