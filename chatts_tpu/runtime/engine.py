@@ -39,6 +39,20 @@ class GenerateResult:
         return sum(len(t) for t in self.token_ids)
 
 
+def recent_mode_ok(attn_impl: str, cache_len: int) -> bool:
+    """Recent-KV decode mode applies exactly where the DENSE attention path
+    would run anyway: the ragged Pallas kernel reads the big cache directly
+    (no way to combine a chunk-local buffer without its logsumexp), so when
+    the dispatch would pick it — forced, or auto at capacity >= 2048 on a
+    backend that can run it — the per-step scatter path stays."""
+    from chatts_tpu.ops import ragged_decode_attention as rda
+
+    if attn_impl == "ragged":
+        return False
+    ragged_capable = jax.default_backend() == "tpu" or rda.interpret_enabled()
+    return not (attn_impl == "auto" and cache_len >= 2048 and ragged_capable)
+
+
 def _prefill(
     params,
     cfg: ChatTSConfig,
@@ -168,14 +182,76 @@ def _decode_chunk(
     done,  # (B,) bool
     rng,
     mesh=None,
+    use_recent: bool = False,
 ):
     """Run ``chunk_size`` decode steps fully on device via lax.scan.
 
     One host sync per chunk instead of per token — the decode hot loop stays
     on-chip (SURVEY hot loop #1).  EOS detection and freezing of finished
     rows happen on device.
-    """
+
+    use_recent (dense-attention path only; the caller gates): each step's
+    K/V goes to a chunk-local (B, KVH, chunk, D) buffer at a uniform step
+    index instead of a per-(row, head, position) element scatter into the
+    big cache (~0.16 us each on v5e — ~1.1 ms of a b32 8B step over 28
+    layers), with two-piece attention over cache + recent and ONE
+    span-window merge per chunk.  Safe whenever capacity >= prompt +
+    max_new_tokens (the caller checks): a merge window that would cross
+    capacity can then only belong to a row with no further chunks to read
+    it.  Rows frozen (done) mid-chunk leave junk in their tail window
+    positions >= their final cur_len, which no later read validates."""
     eos_ids = jnp.asarray(list(gen_cfg.eos_token_ids) or [-1], jnp.int32)
+
+    if use_recent:
+        lcfg = cfg.llm
+        b = tokens.shape[0]
+        cache_len = caches[0][0].shape[2]
+        kv_positions = jnp.tile(
+            jnp.arange(cache_len, dtype=jnp.int32)[None], (b, 1))
+        rdtype = (caches[0][0].dtype if len(caches[0]) == 2
+                  else jnp.dtype(lcfg.dtype))
+        kvh, d = lcfg.num_key_value_heads, lcfg.head_dim
+        recents0 = [
+            (jnp.zeros((b, kvh, chunk_size, d), rdtype),
+             jnp.zeros((b, kvh, chunk_size, d), rdtype))
+            for _ in caches
+        ]
+        base_lens = cur_lens
+        # Big-cache validity is static across the chunk: it holds the
+        # prompt (positions < chunk-start length); this chunk's tokens
+        # live in the recent buffers until the merge.
+        base_valid = kv_positions < base_lens[:, None]
+
+        def body_recent(carry, i):
+            recents, tokens, cur_lens, done, rng = carry
+            rng, key = jax.random.split(rng)
+            positions = cur_lens[:, None].astype(jnp.int32)
+            embeds = qwen.embed_tokens(params["llm"], tokens[:, None])
+            rec_valid = jnp.arange(chunk_size, dtype=jnp.int32) <= i
+            hidden, recents = qwen.forward(
+                params["llm"], cfg.llm, embeds, positions,
+                kv_caches=caches, write_pos=positions,
+                kv_valid=base_valid, kv_positions=kv_positions,
+                attn_impl=attn_impl, mesh=mesh,
+                recents=recents, rec_idx=i, rec_valid=rec_valid,
+            )
+            logits = chatts.compute_logits(params, cfg, hidden,
+                                           mesh=mesh)[:, 0]
+            next_tok = sampling.sample(logits, key, gen_cfg)
+            next_tok = jnp.where(done, pad_id, next_tok)
+            new_done = done | jnp.any(
+                next_tok[:, None] == eos_ids[None, :], axis=1)
+            cur_lens = cur_lens + jnp.where(done, 0, 1).astype(cur_lens.dtype)
+            return (recents, next_tok, cur_lens, new_done, rng), next_tok
+
+        (recents, tokens, cur_lens, done, rng), toks = jax.lax.scan(
+            body_recent, (recents0, tokens, cur_lens, done, rng),
+            jnp.arange(chunk_size, dtype=jnp.int32),
+        )
+        caches = qwen.merge_recent_kv(
+            caches, recents, jnp.arange(b, dtype=jnp.int32),
+            base_lens.astype(jnp.int32))
+        return caches, tokens, cur_lens, done, rng, toks.T  # (B, chunk)
 
     def body(carry, _):
         caches, tokens, cur_lens, done, rng = carry
@@ -211,6 +287,7 @@ class InferenceEngine:
         fuse: bool = True,
         prefill_chunk: Optional[int] = None,
         prefill_act_int8: bool = False,
+        decode_recent_kv: bool = True,
     ):
         if fuse:
             params = chatts.maybe_fuse(params)
@@ -227,6 +304,11 @@ class InferenceEngine:
         # int8 activations for the prompt-side matmuls (v5e MXU int8 path,
         # 2x bf16 TOPS); decode stays bf16.
         self.prefill_act_int8 = prefill_act_int8
+        # Recent-KV decode scan on the dense path (chunk-local K/V buffer,
+        # one span-window merge per chunk) — ~1.4x the b32 step on v5e.
+        # False keeps the per-step scatter path (the token-exact oracle in
+        # tests and the ragged-kernel form).
+        self.decode_recent_kv = decode_recent_kv
         self._prefill_jit = jax.jit(
             functools.partial(_prefill),
             static_argnames=("cfg", "cache_len", "cache_dtype", "attn_impl",
@@ -239,7 +321,7 @@ class InferenceEngine:
         self.mesh = infer_mesh(params)
         decode_kwargs = dict(
             static_argnames=("cfg", "attn_impl", "gen_cfg", "chunk_size",
-                             "pad_id", "mesh")
+                             "pad_id", "mesh", "use_recent")
         )
         if donate_cache:
             decode_kwargs["donate_argnames"] = ("caches",)
@@ -365,6 +447,13 @@ class InferenceEngine:
 
         # Chunked on-device decode: one host sync per chunk, not per token.
         chunk = max(1, min(self.decode_chunk, gen_cfg.max_new_tokens - 1))
+        # Recent-KV mode needs every merge window a later chunk reads to fit
+        # capacity, guaranteed when capacity covers the whole generation
+        # (always true for the default cache_len = t + max_new_tokens; a
+        # caller-tightened cache_len falls back to per-step scatters).
+        use_recent = (self.decode_recent_kv
+                      and recent_mode_ok(self.attn_impl, cache_len)
+                      and cache_len >= t + gen_cfg.max_new_tokens)
         decode_start = time.perf_counter()
         steps = 0
         remaining = gen_cfg.max_new_tokens - 1
@@ -376,7 +465,7 @@ class InferenceEngine:
                 self.params, self.cfg, self.attn_impl, gen_cfg,
                 step, self.pad_id,
                 caches, tokens, cur_lens, done, loop_key,
-                mesh=self.mesh,
+                mesh=self.mesh, use_recent=use_recent,
             )
             collected.append(np.asarray(toks))  # (B, step)
             done_host = np.asarray(done)

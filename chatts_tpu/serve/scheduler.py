@@ -299,17 +299,10 @@ def _mixed_step_all_slots(
 
 
 def _recent_mode_ok(attn_impl: str, cache_len: int) -> bool:
-    """Recent-KV decode mode applies exactly where the DENSE attention path
-    would run anyway: the ragged Pallas kernel reads the big cache directly
-    (no way to combine a chunk-local buffer without its logsumexp), so when
-    the dispatch would pick it — forced, or auto at capacity >= 2048 on a
-    backend that can run it — the per-step scatter path stays."""
-    from chatts_tpu.ops import ragged_decode_attention as rda
+    """See runtime.engine.recent_mode_ok (shared with the batch engine)."""
+    from chatts_tpu.runtime.engine import recent_mode_ok
 
-    if attn_impl == "ragged":
-        return False
-    ragged_capable = jax.default_backend() == "tpu" or rda.interpret_enabled()
-    return not (attn_impl == "auto" and cache_len >= 2048 and ragged_capable)
+    return recent_mode_ok(attn_impl, cache_len)
 
 
 def _decode_scan(

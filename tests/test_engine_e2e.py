@@ -130,6 +130,30 @@ def test_decode_consistent_with_full_forward_through_engine():
         assert int(np.argmax(np.asarray(logits)[0, -1])) == gen_ids[step]
 
 
+def test_recent_kv_decode_matches_scatter_path():
+    """The batch engine's recent-KV decode scan (chunk-local K/V buffer +
+    one span-window merge per chunk) must be token-exact vs the per-step
+    scatter path, across chunk boundaries (chunk 4, 10 new tokens), for
+    f32-like and int8 KV caches, with uneven row lengths."""
+    cfg, params = make_model(seed=6)
+    proc = ChatTSProcessor(FakeTokenizer(), cfg)
+    batch = proc(
+        ["compare <ts><ts/> paths", "short <ts><ts/>"],
+        [np.arange(24.0), np.sin(np.arange(16.0)) * 3],
+    )
+    gen = GenerationConfig(max_new_tokens=10, greedy=True)
+    for dtype in (jnp.float32, jnp.int8):
+        ref = InferenceEngine(params, cfg, cache_dtype=dtype,
+                              attn_impl="xla", decode_chunk=4,
+                              decode_recent_kv=False)
+        rec = InferenceEngine(params, cfg, cache_dtype=dtype,
+                              attn_impl="xla", decode_chunk=4,
+                              decode_recent_kv=True)
+        r_ref = ref.generate(batch, gen)
+        r_rec = rec.generate(batch, gen)
+        assert r_rec.token_ids == r_ref.token_ids, dtype
+
+
 def test_chunked_prefill_matches_monolithic():
     """Long-prompt chunked prefill must be token-exact vs one-block prefill,
     in bf16-like f32 caches and in int8 KV mode, uneven row lengths included."""
