@@ -670,7 +670,7 @@ def main():
     time.sleep(8.0 if tiny else 45.0)
     elapsed = time.perf_counter() - w0
     tokens_out = engine.total_output_tokens - base_tokens
-    round_log_snapshot = list(engine.round_log)  # window-only anatomy
+    round_log_snapshot = engine.round_snapshot()  # window-only anatomy
     window_open.clear()
     stop.set()
     gen.join(timeout=10)

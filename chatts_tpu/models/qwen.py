@@ -186,8 +186,7 @@ def _dense(x: jnp.ndarray, layer: Dict[str, jnp.ndarray],
 def _decode_attention_recent(
     q1: jnp.ndarray,  # (B, 1, H, D) single-token queries
     cache,  # big-cache layer tuple (2-tuple bf16/f32 or 4-tuple int8)
-    rk: jnp.ndarray,  # (B, KVH, C, D) this chunk's keys (compute dtype)
-    rv: jnp.ndarray,  # (B, KVH, C, D)
+    rbuf,  # recent layer tuple, same arity/layout as the big cache
     rec_valid: jnp.ndarray,  # (C,) bool — steps written so far (incl. self)
     base_valid: jnp.ndarray,  # (B, S) bool — cache validity, STATIC per chunk
     cfg: QwenConfig,
@@ -206,7 +205,10 @@ def _decode_attention_recent(
     cache here is a measured 1.4x regression (18.0 vs 13.1 ms/step, b32
     8B int8 KV): the cache is a scan invariant, so the dequant becomes a
     real per-step HBM buffer instead of fusing into the attention read
-    the way it does on the non-scan path."""
+    the way it does on the non-scan path.  The recent buffer mirrors the
+    cache layout (int8 codes + scales when the cache is int8, written by
+    the same per-step quantizer), so both pieces see BIT-IDENTICAL values
+    to the per-step scatter path."""
     b, _, h, d = q1.shape
     kvh = cfg.num_key_value_heads
     g = h // kvh
@@ -215,9 +217,11 @@ def _decode_attention_recent(
     int8_kv = len(cache) == 4
     if int8_kv:
         k_full, v_full, k_scale, v_scale = cache
+        rk, rv, rk_s, rv_s = rbuf
     else:
         k_full, v_full = cache
-        k_scale = v_scale = None
+        rk, rv = rbuf
+        k_scale = v_scale = rk_s = rv_s = None
     qg = q1[:, 0].reshape(b, kvh, g, d)
     s1 = jnp.einsum(
         "bkgd,bksd->bkgs", qg, k_full.astype(q1.dtype),
@@ -229,17 +233,20 @@ def _decode_attention_recent(
         "bkgd,bkcd->bkgc", qg, rk.astype(q1.dtype),
         preferred_element_type=jnp.float32,
     ).astype(jnp.float32) * scale
+    if int8_kv:
+        s2 = s2 * rk_s[:, :, None, :]
     s1 = jnp.where(base_valid[:, None, None, :], s1, neg_inf)
     s2 = jnp.where(rec_valid[None, None, None, :], s2, neg_inf)
     probs = jax.nn.softmax(jnp.concatenate([s1, s2], axis=-1), axis=-1)
     p1, p2 = jnp.split(probs, [s1.shape[-1]], axis=-1)
     if int8_kv:
         p1 = p1 * v_scale[:, :, None, :]
+        p2 = p2 * rv_s[:, :, None, :]
     out = jnp.einsum(
         "bkgs,bksd->bkgd", p1.astype(q1.dtype), v_full.astype(q1.dtype),
         preferred_element_type=jnp.float32,
     ) + jnp.einsum(
-        "bkgc,bkcd->bkgd", p2.astype(rv.dtype), rv,
+        "bkgc,bkcd->bkgd", p2.astype(q1.dtype), rv.astype(q1.dtype),
         preferred_element_type=jnp.float32,
     )
     return out.reshape(b, 1, h, d).astype(q1.dtype)
@@ -314,15 +321,34 @@ def attention_block(
             # cache stays untouched during the chunk; the engine merges the
             # recent buffers back as span windows once per chunk
             # (merge_recent_kv).  Attention reads cache + recent two-piece.
-            rk, rv, rec_idx, rec_valid = recent
-            rk = jax.lax.dynamic_update_slice(
-                rk, kt.astype(rk.dtype), (0, 0, rec_idx, 0))
-            rv = jax.lax.dynamic_update_slice(
-                rv, vt.astype(rv.dtype), (0, 0, rec_idx, 0))
+            # int8 caches: the buffer stores the SAME per-step codes +
+            # scales the scatter path would write, so within-chunk reads
+            # and the merged cache are bit-identical to that path.
+            rbuf, rec_idx, rec_valid = recent
+            if int8_kv:
+                kt_q, kt_s = _quantize_kv(kt)
+                vt_q, vt_s = _quantize_kv(vt)
+                rbuf = (
+                    jax.lax.dynamic_update_slice(
+                        rbuf[0], kt_q, (0, 0, rec_idx, 0)),
+                    jax.lax.dynamic_update_slice(
+                        rbuf[1], vt_q, (0, 0, rec_idx, 0)),
+                    jax.lax.dynamic_update_slice(
+                        rbuf[2], kt_s, (0, 0, rec_idx)),
+                    jax.lax.dynamic_update_slice(
+                        rbuf[3], vt_s, (0, 0, rec_idx)),
+                )
+            else:
+                rbuf = (
+                    jax.lax.dynamic_update_slice(
+                        rbuf[0], kt.astype(rbuf[0].dtype), (0, 0, rec_idx, 0)),
+                    jax.lax.dynamic_update_slice(
+                        rbuf[1], vt.astype(rbuf[1].dtype), (0, 0, rec_idx, 0)),
+                )
             out = _decode_attention_recent(
-                q, kv_cache, rk, rv, rec_valid, kv_valid, cfg)
+                q, kv_cache, rbuf, rec_valid, kv_valid, cfg)
             out = out.reshape(b, t, h * d)
-            return _dense(out, p["o_proj"], mesh, "row", act_int8), (rk, rv)
+            return _dense(out, p["o_proj"], mesh, "row", act_int8), rbuf
         if int8_kv:
             kt, kt_s = _quantize_kv(kt)
             vt, vt_s = _quantize_kv(vt)
@@ -889,7 +915,7 @@ def forward(
         cache_i = kv_caches[i] if kv_caches is not None else None
         recent_i = None
         if recents is not None:
-            recent_i = (recents[i][0], recents[i][1], rec_idx, rec_valid)
+            recent_i = (recents[i], rec_idx, rec_valid)
         x, new_cache = decoder_layer(
             layer_params, x, positions, cfg,
             cache_i, write_pos, kv_valid, kv_positions, attn_impl, kv_lengths,
@@ -899,6 +925,31 @@ def forward(
             new_caches.append(new_cache)
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     return x, new_caches
+
+
+def init_recents(caches, cfg: QwenConfig, b: int, chunk: int):
+    """Allocate chunk-local recent K/V buffers mirroring the big caches'
+    layout: (rk, rv) in the cache dtype for float caches, (rk_q, rv_q,
+    rk_scale, rv_scale) for int8 caches — per-step writes then produce the
+    SAME codes + per-(row, head, position) scales the scatter path would,
+    keeping recent-KV decode bit-identical to it.  Shared by the serving
+    scheduler and the batch engine (one copy of the layout invariant)."""
+    kvh, d = cfg.num_key_value_heads, cfg.head_dim
+    out = []
+    for c in caches:
+        if len(c) == 4:
+            out.append((
+                jnp.zeros((b, kvh, chunk, d), jnp.int8),
+                jnp.zeros((b, kvh, chunk, d), jnp.int8),
+                jnp.ones((b, kvh, chunk), jnp.float32),
+                jnp.ones((b, kvh, chunk), jnp.float32),
+            ))
+        else:
+            out.append((
+                jnp.zeros((b, kvh, chunk, d), c[0].dtype),
+                jnp.zeros((b, kvh, chunk, d), c[1].dtype),
+            ))
+    return out
 
 
 def merge_recent_kv(caches, recents, rows, starts):
@@ -911,25 +962,15 @@ def merge_recent_kv(caches, recents, rows, starts):
     that would cross the cache capacity belong to rows whose request
     necessarily finished inside the chunk (admission guarantees
     prompt+max_tokens <= capacity), so FILL_OR_DROP dropping them whole
-    never loses K/V that a later step could read.  int8 caches quantize the
-    recent window with the same per-(row, head, position) scales the
-    per-step path uses."""
+    never loses K/V that a later step could read.  int8 recent buffers
+    already hold per-step codes + scales (attention_block quantizes on
+    write), so the merge is a straight scatter of both."""
     out = []
-    for big, (rk, rv) in zip(caches, recents):
-        if len(big) == 4:
-            k_q, k_s = _quantize_kv(rk)
-            v_q, v_s = _quantize_kv(rv)
-            out.append((
-                _scatter_token_spans(big[0], k_q, rows, starts),
-                _scatter_token_spans(big[1], v_q, rows, starts),
-                _scatter_token_spans(big[2], k_s, rows, starts),
-                _scatter_token_spans(big[3], v_s, rows, starts),
-            ))
-        else:
-            out.append((
-                _scatter_token_spans(big[0], rk, rows, starts),
-                _scatter_token_spans(big[1], rv, rows, starts),
-            ))
+    for big, rbuf in zip(caches, recents):
+        out.append(tuple(
+            _scatter_token_spans(bbuf, sbuf, rows, starts)
+            for bbuf, sbuf in zip(big, rbuf)
+        ))
     return out
 
 

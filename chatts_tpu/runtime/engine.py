@@ -203,19 +203,11 @@ def _decode_chunk(
     eos_ids = jnp.asarray(list(gen_cfg.eos_token_ids) or [-1], jnp.int32)
 
     if use_recent:
-        lcfg = cfg.llm
         b = tokens.shape[0]
         cache_len = caches[0][0].shape[2]
         kv_positions = jnp.tile(
             jnp.arange(cache_len, dtype=jnp.int32)[None], (b, 1))
-        rdtype = (caches[0][0].dtype if len(caches[0]) == 2
-                  else jnp.dtype(lcfg.dtype))
-        kvh, d = lcfg.num_key_value_heads, lcfg.head_dim
-        recents0 = [
-            (jnp.zeros((b, kvh, chunk_size, d), rdtype),
-             jnp.zeros((b, kvh, chunk_size, d), rdtype))
-            for _ in caches
-        ]
+        recents0 = qwen.init_recents(caches, cfg.llm, b, chunk_size)
         base_lens = cur_lens
         # Big-cache validity is static across the chunk: it holds the
         # prompt (positions < chunk-start length); this chunk's tokens

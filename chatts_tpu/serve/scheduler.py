@@ -327,15 +327,7 @@ def _decode_scan(
     use_recent = _recent_mode_ok(attn_impl, cache_len)
 
     if use_recent:
-        lcfg = cfg.llm
-        kvh, d = lcfg.num_key_value_heads, lcfg.head_dim
-        rdtype = (caches[0][0].dtype if len(caches[0]) == 2
-                  else jnp.dtype(lcfg.dtype))
-        recents0 = [
-            (jnp.zeros((b, kvh, chunk_size, d), rdtype),
-             jnp.zeros((b, kvh, chunk_size, d), rdtype))
-            for _ in caches
-        ]
+        recents0 = qwen.init_recents(caches, cfg.llm, b, chunk_size)
         base_lens = cur_lens
         # Cache validity is static across the chunk: the big caches hold
         # positions < chunk-start length; this chunk's tokens live in the
@@ -737,6 +729,10 @@ class ServeEngine:
         import collections
 
         self.round_log: "collections.deque" = collections.deque(maxlen=4096)
+        # stats() snapshots the deque from caller threads while the engine
+        # loop appends — unguarded iteration raises "deque mutated during
+        # iteration" under churn.
+        self._round_log_lock = threading.Lock()
 
     # -- public API --------------------------------------------------------
 
@@ -1515,11 +1511,12 @@ class ServeEngine:
                 # round (admit-then-decode), so they count as live.
                 rows_live = n_live + (
                     handle[3] if handle[0] == "block" else 0)
-                self.round_log.append((
-                    handle[0], time.perf_counter() - t_done,
-                    t_done - t0,
-                    rows_live, handle[3], handle[4],
-                    self.streamed_tokens - tok0))
+                with self._round_log_lock:
+                    self.round_log.append((
+                        handle[0], time.perf_counter() - t_done,
+                        t_done - t0,
+                        rows_live, handle[3], handle[4],
+                        self.streamed_tokens - tok0))
             except Exception as err:  # engine must survive a bad step:
                 # fail every in-flight request with the error and keep
                 # serving (the reference's worker pool dies silently here —
@@ -1537,6 +1534,11 @@ class ServeEngine:
 
     # -- metrics -----------------------------------------------------------
 
+    def round_snapshot(self) -> list:
+        """Thread-safe copy of the round-anatomy ring buffer."""
+        with self._round_log_lock:
+            return list(self.round_log)
+
     def stats(self) -> Dict[str, Any]:
         out = {
             "active_slots": int(self.live_host.sum()),
@@ -1549,7 +1551,7 @@ class ServeEngine:
         import collections
 
         agg: Dict[str, list] = collections.defaultdict(lambda: [0, 0.0, 0])
-        for kind, _adm, rnd, _live, _a, _npt, emitted in list(self.round_log):
+        for kind, _adm, rnd, _live, _a, _npt, emitted in self.round_snapshot():
             g = agg[kind]
             g[0] += 1
             g[1] += rnd

@@ -122,12 +122,15 @@ def main():
     # 2. full block round
     st2 = [fresh_state()]
 
+    abudget = jnp.full((a,), 400, jnp.int32)
+
     def block_once():
         caches, tokens, cur_lens, active, temp, topp, budget = st2[0]
-        caches, tokens, cur_lens, budget, rng, packed = block_jit(
+        (caches, tokens, cur_lens, budget, temp, topp, rng,
+         packed) = block_jit(
             params, cfg, "auto", False, chunk, caches, tokens, cur_lens,
             active, temp, topp, eos, budget, wr, emb, seq, atemp, atopp,
-            jax.random.PRNGKey(0))
+            abudget, jax.random.PRNGKey(0))
         st2[0] = (caches, tokens, cur_lens, active, temp, topp, budget)
         return float(jnp.asarray(packed[0, 0]))
 

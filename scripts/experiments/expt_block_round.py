@@ -125,7 +125,7 @@ def main():
     time.sleep(40)
     elapsed = time.perf_counter() - w0
     toks = engine.streamed_tokens - base
-    rl = list(engine.round_log)
+    rl = engine.round_snapshot()
     stop.set()
     gen.join(timeout=10)
     print(f"window: {toks} streamed tokens in {elapsed:.1f}s -> "
