@@ -463,10 +463,15 @@ def main():
         f"{quantize.param_bytes(params) / 1e9:.2f} GB on chip")
 
     proc = ChatTSProcessor(_Tok(), cfg)
-    concurrency = 32
+    # CHATTS_BENCH_C: serving concurrency A/B knob (c48 fits: 5 GB int4
+    # weights + 48 x 58.7 MB bf16 KV at cap 1024 = 2.8 GB on the 16 GB
+    # chip).  Churn scales with slots, so the admission bucket widens past
+    # 8 rows/round at c>32 (the {10, 12} block-family rungs engage).
+    concurrency = int(os.environ.get("CHATTS_BENCH_C", "32"))
     engine = ServeEngine(
         params, cfg, proc,
         max_batch_size=concurrency,
+        admission_bucket=8 if concurrency <= 32 else 12,
         max_model_len=1024,
         # bf16 KV: measured faster than int8 KV at the 8B shape (13.1 vs
         # 13.9 ms TPOT at b32 — in-dot dequant doesn't fuse into the dense

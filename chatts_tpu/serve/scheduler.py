@@ -1174,11 +1174,14 @@ class ServeEngine:
 
     def _block_family(self, n_reqs: int) -> int:
         """Padded row count for a block-mode admission.  The ladder
-        {1,2,3,4,6,8} caps padding at ONE row (pad rows COMPUTE their full
-        T-token prompt FLOPs: at saturation churn ~5 requests/round, the
-        old {1,2,4,8} ladder padded 5->8 and burned ~33% of every block's
-        prompt work) at the cost of two extra compiled block shapes."""
-        for f in (1, 2, 3, 4, 6):
+        {1,2,3,4,6,8[,10,12]} caps padding at one-two rows (pad rows
+        COMPUTE their full T-token prompt FLOPs: at saturation churn ~5
+        requests/round, the old {1,2,4,8} ladder padded 5->8 and burned
+        ~33% of every block's prompt work) at the cost of a few extra
+        compiled block shapes.  Rungs above 8 engage only when
+        admission_bucket is raised (high-concurrency configs where churn
+        exceeds 8 rows/round)."""
+        for f in (1, 2, 3, 4, 6, 8, 10):
             if n_reqs <= f < self._a_bucket:
                 return f
         return self._a_bucket
