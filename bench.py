@@ -533,7 +533,11 @@ def main():
             break
         time.sleep(0.05)
     extra = []
-    for n in (8, 6, 4, 3, 2, 1):
+    # Cover every block-family rung the engine can admit with (the ladder
+    # widens past 8 when admission_bucket does, e.g. the c48 config).
+    rungs = sorted({f for f in (1, 2, 3, 4, 6, 8, 10, engine._a_bucket)
+                    if f <= engine._a_bucket}, reverse=True)
+    for n in rungs:
         gate = time.time() + 300
         while (len(engine._free_slots()) < n
                or not engine.live_host.any()):
