@@ -468,10 +468,15 @@ def main():
     # chip).  Churn scales with slots, so the admission bucket widens past
     # 8 rows/round at c>32 (the {10, 12} block-family rungs engage).
     concurrency = int(os.environ.get("CHATTS_BENCH_C", "32"))
+    # CHATTS_BENCH_BUCKET: admission-bucket A/B knob (saturation churn at
+    # c32 averages ~8 rows/round == the default bucket, so backlog variance
+    # never clears; a wider bucket lets catch-up waves land in one round).
+    bucket = int(os.environ.get("CHATTS_BENCH_BUCKET",
+                                "8" if concurrency <= 32 else "12"))
     engine = ServeEngine(
         params, cfg, proc,
         max_batch_size=concurrency,
-        admission_bucket=8 if concurrency <= 32 else 12,
+        admission_bucket=bucket,
         max_model_len=1024,
         # bf16 KV: measured faster than int8 KV at the 8B shape (13.1 vs
         # 13.9 ms TPOT at b32 — in-dot dequant doesn't fuse into the dense

@@ -370,6 +370,55 @@ def test_block_admission_decodes_in_its_own_round(engine_setup):
     assert len(newcomer.output_tokens) == 30
 
 
+def test_wide_admission_bucket_rungs_token_exact(engine_setup):
+    """admission_bucket above 8 engages the {10, 12} block-family rungs
+    (high-concurrency configs where churn exceeds 8 rows/round) and caps
+    each wave at the bucket: 13 requests admitted while a slot decodes
+    must land as a 12-row block wave plus a requeued follow-up, all
+    token-exact vs the batch engine."""
+    import time
+
+    cfg, params, proc = engine_setup
+    from chatts_tpu.core.config import GenerationConfig
+    from chatts_tpu.runtime.engine import InferenceEngine
+
+    be = InferenceEngine(params, cfg, cache_dtype=jnp.float32,
+                         attn_impl="xla")
+
+    def expected(prompt, ts, n):
+        return be.generate(
+            proc([prompt], ts), GenerationConfig(max_new_tokens=n, greedy=True)
+        ).token_ids[0]
+
+    with make_engine(engine_setup, max_batch_size=16,
+                     admission_bucket=12) as eng:
+        assert eng._a_bucket == 12
+        anchor = Request("anchor <ts><ts/> runs", [np.arange(12.0)],
+                         SamplingParams(max_tokens=40, temperature=0.0))
+        eng.submit(anchor)
+        deadline = time.time() + 120
+        while not anchor.output_tokens:
+            assert time.time() < deadline
+            time.sleep(0.005)
+        wave = [
+            Request(f"wave {i} <ts><ts/> joins", [np.arange(8.0) + i],
+                    SamplingParams(max_tokens=5, temperature=0.0))
+            for i in range(13)
+        ]
+        for r in wave:
+            eng.submit(r)
+        while any(r.finished_s is None and r.error is None
+                  for r in wave + [anchor]):
+            assert time.time() < deadline, "wave did not finish"
+            time.sleep(0.002)
+    for i, r in enumerate(wave):
+        assert r.error is None, r.error
+        assert r.output_tokens == expected(
+            f"wave {i} <ts><ts/> joins", [np.arange(8.0) + i], 5), i
+    assert anchor.output_tokens == expected(
+        "anchor <ts><ts/> runs", [np.arange(12.0)], 40)
+
+
 def test_chunked_admission_matches_monolithic(engine_setup):
     """Long prompts admitted in chunks must produce identical greedy output
     to the monolithic admission path (bf16-like and int8 KV)."""
