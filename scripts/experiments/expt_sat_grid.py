@@ -35,11 +35,11 @@ from chatts_tpu.utils import compile_cache
 
 
 def run_arm(params, cfg, proc, Request, SamplingParams, ServeEngine,
-            jnp, chunk: int, bucket: int) -> dict:
+            jnp, chunk: int, bucket: int, a8: bool = False) -> dict:
     engine = ServeEngine(
         params, cfg, proc, max_batch_size=32, admission_bucket=bucket,
         max_model_len=1024, cache_dtype=jnp.bfloat16, decode_chunk=chunk,
-        fuse=False,
+        fuse=False, prefill_act_int8=a8,
     )
     rng = np.random.default_rng(0)
     filler = " ".join(f"word{i}" for i in range(400))
@@ -213,19 +213,22 @@ def main():
     proc = ChatTSProcessor(_Tok(), cfg)
 
     arms = [a for a in sys.argv[1:] if "x" in a] or [
-        "32x8", "32x12", "16x8", "16x12"]
+        "32x8", "32x12", "16x8", "16x12", "32x8a8"]
     results = []
     for arm in arms:
-        chunk, bucket = (int(v) for v in arm.split("x"))
-        print(f"=== arm chunk={chunk} bucket={bucket}", flush=True)
-        results.append(run_arm(params, cfg, proc, Request, SamplingParams,
-                               ServeEngine, jnp, chunk, bucket))
+        a8 = arm.endswith("a8")
+        chunk, bucket = (int(v) for v in arm.removesuffix("a8").split("x"))
+        print(f"=== arm chunk={chunk} bucket={bucket} a8={a8}", flush=True)
+        r = run_arm(params, cfg, proc, Request, SamplingParams,
+                    ServeEngine, jnp, chunk, bucket, a8)
+        r["a8"] = a8
+        results.append(r)
         gc.collect()
     print("\n=== summary")
     for r in results:
-        print(f"chunk {r['chunk']:2d} bucket {r['bucket']:2d}: "
-              f"{r['agg_tps']:7.1f} tok/s  TTFT p50 {r['ttft_p50_ms']:7.1f} ms",
-              flush=True)
+        print(f"chunk {r['chunk']:2d} bucket {r['bucket']:2d} "
+              f"a8 {int(r['a8'])}: {r['agg_tps']:7.1f} tok/s  "
+              f"TTFT p50 {r['ttft_p50_ms']:7.1f} ms", flush=True)
 
 
 if __name__ == "__main__":
