@@ -35,9 +35,10 @@ from chatts_tpu.utils import compile_cache
 
 
 def run_arm(params, cfg, proc, Request, SamplingParams, ServeEngine,
-            jnp, chunk: int, bucket: int, a8: bool = False) -> dict:
+            jnp, chunk: int, bucket: int, a8: bool = False,
+            nslots: int = 32) -> dict:
     engine = ServeEngine(
-        params, cfg, proc, max_batch_size=32, admission_bucket=bucket,
+        params, cfg, proc, max_batch_size=nslots, admission_bucket=bucket,
         max_model_len=1024, cache_dtype=jnp.bfloat16, decode_chunk=chunk,
         fuse=False, prefill_act_int8=a8,
     )
@@ -63,7 +64,7 @@ def run_arm(params, cfg, proc, Request, SamplingParams, ServeEngine,
     # Workload-shape warmup: cohort + every block-family rung at this
     # workload's compile keys (mirrors bench.py's gated ladder).
     t0 = time.perf_counter()
-    pre = [mkreq() for _ in range(32)]
+    pre = [mkreq() for _ in range(engine.max_batch_size)]
     for r in pre:
         engine.submit(r)
     deadline = time.time() + 900
@@ -103,7 +104,7 @@ def run_arm(params, cfg, proc, Request, SamplingParams, ServeEngine,
     admitted_during_window: list = []
 
     def loadgen():
-        inflight = [mkreq() for _ in range(32)]
+        inflight = [mkreq() for _ in range(engine.max_batch_size)]
         for r in inflight:
             engine.submit(r)
         while not stop.is_set():
@@ -216,18 +217,30 @@ def main():
         "32x8", "32x12", "16x8", "16x12", "32x8a8"]
     results = []
     for arm in arms:
-        a8 = arm.endswith("a8")
-        chunk, bucket = (int(v) for v in arm.removesuffix("a8").split("x"))
-        print(f"=== arm chunk={chunk} bucket={bucket} a8={a8}", flush=True)
+        # Arm grammar: <chunk>x<bucket>[c<slots>][a8]
+        spec = arm
+        a8 = spec.endswith("a8")
+        spec = spec.removesuffix("a8")
+        nslots = 32
+        chunk_s, rest = spec.split("x")
+        if "c" in rest:
+            bucket_s, slots_s = rest.split("c")
+            nslots = int(slots_s)
+        else:
+            bucket_s = rest
+        chunk, bucket = int(chunk_s), int(bucket_s)
+        print(f"=== arm chunk={chunk} bucket={bucket} c={nslots} a8={a8}",
+              flush=True)
         r = run_arm(params, cfg, proc, Request, SamplingParams,
-                    ServeEngine, jnp, chunk, bucket, a8)
+                    ServeEngine, jnp, chunk, bucket, a8, nslots)
         r["a8"] = a8
+        r["slots"] = nslots
         results.append(r)
         gc.collect()
     print("\n=== summary")
     for r in results:
         print(f"chunk {r['chunk']:2d} bucket {r['bucket']:2d} "
-              f"a8 {int(r['a8'])}: {r['agg_tps']:7.1f} tok/s  "
+              f"c{r['slots']} a8 {int(r['a8'])}: {r['agg_tps']:7.1f} tok/s  "
               f"TTFT p50 {r['ttft_p50_ms']:7.1f} ms", flush=True)
 
 
