@@ -114,6 +114,10 @@ def bench_14b():
 
     from chatts_tpu.utils import compile_cache
 
+    tiny = os.environ.get("CHATTS_BENCH_TINY") == "1"  # CPU flow smoke
+    if tiny:
+        # Platform BEFORE enable(): the cache dir is keyed by platform.
+        jax.config.update("jax_platforms", "cpu")
     compile_cache.enable()
 
     from chatts_tpu.core.config import (
@@ -124,10 +128,6 @@ def bench_14b():
     from chatts_tpu.models import quantize
     from chatts_tpu.processor.processor import ChatTSProcessor
     from chatts_tpu.serve.scheduler import Request, SamplingParams, ServeEngine
-
-    tiny = os.environ.get("CHATTS_BENCH_TINY") == "1"  # CPU flow smoke
-    if tiny:
-        jax.config.update("jax_platforms", "cpu")
     log(f"[14B] devices: {jax.devices()}")
     vocab = 152064 if not tiny else 512
     if tiny:
@@ -178,7 +178,10 @@ def bench_14b():
         f"{quantize.param_bytes(params) / 1e9:.2f} GB on chip")
 
     proc = ChatTSProcessor(_Tok(), cfg)
-    concurrency = 16
+    # c16 default; int8 KV at cap 1024 costs ~101 MB/slot (48L x 2 x 8KVH x
+    # 128D), so c24 (2.4 GB) still fits beside the 9.4 GB int4 weights —
+    # CHATTS_BENCH_14B_C probes that headroom.
+    concurrency = int(os.environ.get("CHATTS_BENCH_14B_C", "16"))
     engine = ServeEngine(
         params, cfg, proc,
         max_batch_size=concurrency, max_model_len=1024,
@@ -395,6 +398,9 @@ def main():
 
     from chatts_tpu.utils import compile_cache
 
+    if tiny:
+        # Platform BEFORE enable(): the cache dir is keyed by platform.
+        jax.config.update("jax_platforms", "cpu")
     cache_dir = compile_cache.enable()
     log(f"persistent compile cache: {cache_dir}")
 
@@ -407,8 +413,6 @@ def main():
     from chatts_tpu.processor.processor import ChatTSProcessor
     from chatts_tpu.serve.scheduler import Request, SamplingParams, ServeEngine
 
-    if tiny:
-        jax.config.update("jax_platforms", "cpu")
     log(f"devices: {jax.devices()}")
 
     vocab = 152064 if not tiny else 512

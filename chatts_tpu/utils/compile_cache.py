@@ -10,11 +10,40 @@ once; a custom directory can be passed or set via CHATTS_COMPILE_CACHE.
 """
 from __future__ import annotations
 
+import hashlib
 import os
 
 DEFAULT_DIR = os.path.expanduser("~/.cache/chatts_tpu_xla")
 
 _enabled = False
+
+
+def _platform_tag() -> str:
+    """Cache-subdirectory tag for the platform the entries compile FOR.
+
+    XLA's persistent-cache key does NOT include the host CPU feature set,
+    so a CPU AOT result cached on one machine can SIGILL on another (seen
+    as cpu_aot_loader 'machine type ... doesn't match' errors when this
+    cache directory survives a host change).  TPU executables don't care
+    about host features; CPU entries get a per-host feature fingerprint.
+    Reads config/env only — must NOT initialize the backend (callers
+    enable() before their first jit, sometimes before choosing a
+    platform; set jax_platforms BEFORE calling enable())."""
+    import jax
+
+    plats = (getattr(jax.config, "jax_platforms", None)
+             or os.environ.get("JAX_PLATFORMS") or "default")
+    first = plats.split(",")[0].strip().lower() or "default"
+    if first == "cpu":
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next((ln for ln in f if ln.startswith("flags")), "")
+        except OSError:
+            import platform as _platform
+
+            flags = _platform.processor()
+        return "cpu-" + hashlib.sha1(flags.encode()).hexdigest()[:10]
+    return first
 
 
 def enable(cache_dir: str | None = None) -> str:
@@ -24,6 +53,7 @@ def enable(cache_dir: str | None = None) -> str:
 
     cache_dir = (cache_dir or os.environ.get("CHATTS_COMPILE_CACHE")
                  or DEFAULT_DIR)
+    cache_dir = os.path.join(cache_dir, _platform_tag())
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # Serving executables are the point: cache everything that took real
