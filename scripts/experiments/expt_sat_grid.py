@@ -214,7 +214,7 @@ def main():
     proc = ChatTSProcessor(_Tok(), cfg)
 
     arms = [a for a in sys.argv[1:] if "x" in a] or [
-        "32x8", "32x12", "16x8", "16x12", "32x8a8"]
+        "32x8", "32x12", "16x8", "16x12", "32x8a8", "32x12c48"]
     results = []
     for arm in arms:
         # Arm grammar: <chunk>x<bucket>[c<slots>][a8]
