@@ -702,14 +702,15 @@ class ServeEngine:
         )
 
         self.waiting: "queue.Queue[Request]" = queue.Queue()
-        # After a round frees slots, wait up to this long for replacement
+        # After a round frees k slots, wait up to this long for k replacement
         # requests to land in the queue before dispatching the next round
         # (saturated churn fix: a replacement submitted milliseconds after
         # its predecessor finished otherwise misses the next admission pass
-        # and its slot idles 2-3 FULL rounds — measured mean_live 21.9/32
-        # at saturation, r3).  Bounded and round-local, so latency cost at
-        # idle is nil and at saturation is ~5 ms vs a ~750 ms round.
-        self.admit_grace_s = 0.005
+        # and its slot idles a FULL round, ~750 ms at saturation — measured
+        # mean_live 21.9/32, r3).  Bounded and round-local: costs nothing at
+        # idle, and at saturation trades <=10 ms/round for up to k*round_ms
+        # of recovered slot time.
+        self.admit_grace_s = 0.010
         self._finished_total = 0
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -1504,8 +1505,17 @@ class ServeEngine:
                 t_done = time.perf_counter()
                 if self._pending_mixed is None:
                     if self._finished_total > fin0:
+                        # Wait for a replacement PER freed slot, not just the
+                        # first arrival: closed-loop clients notice finishes
+                        # a few ms apart, and a replacement that misses this
+                        # wave idles its slot a full round (~750 ms at
+                        # saturation).  Exiting on the first submission left
+                        # the other ~freed-1 slots empty for a round — the
+                        # dominant term of the measured mean_live 22/32.
+                        want = min(self._finished_total - fin0,
+                                   self._a_bucket)
                         grace = time.perf_counter() + self.admit_grace_s
-                        while (self.waiting.empty()
+                        while (self.waiting.qsize() < want
                                and time.perf_counter() < grace):
                             time.sleep(0.0005)
                     if not self.waiting.empty():
