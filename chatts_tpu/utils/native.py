@@ -24,15 +24,41 @@ _OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__
 _SO_PATH = os.path.join(_OUT_DIR, "libhostpack.so")
 
 
+def _host_tag() -> str:
+    """Fingerprint of this host's CPU feature set.  The library builds with
+    -march=native, so a cached .so from a different machine can SIGILL —
+    rebuild whenever the fingerprint recorded at build time changes."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        import platform
+
+        flags = platform.processor()
+    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+
+
 def _build() -> Optional[str]:
     if not os.path.exists(_SRC):
         return None
     os.makedirs(_OUT_DIR, exist_ok=True)
-    if os.path.exists(_SO_PATH) and os.path.getmtime(_SO_PATH) >= os.path.getmtime(_SRC):
-        return _SO_PATH
+    stamp = _SO_PATH + ".host"
+    tag = _host_tag()
+    if (os.path.exists(_SO_PATH)
+            and os.path.getmtime(_SO_PATH) >= os.path.getmtime(_SRC)):
+        try:
+            with open(stamp) as f:
+                if f.read().strip() == tag:
+                    return _SO_PATH
+        except OSError:
+            pass  # no stamp: rebuild (pre-stamp cache or foreign binary)
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO_PATH]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        with open(stamp, "w") as f:
+            f.write(tag)
         return _SO_PATH
     except (subprocess.CalledProcessError, FileNotFoundError, subprocess.TimeoutExpired):
         return None
