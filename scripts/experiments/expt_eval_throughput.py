@@ -33,10 +33,11 @@ from chatts_tpu.utils import compile_cache
 
 
 def main():
-    compile_cache.enable()
     tiny = os.environ.get("EVAL_TINY") == "1"
     if tiny:
+        # Platform BEFORE enable(): the cache dir is keyed by platform.
         jax.config.update("jax_platforms", "cpu")
+    compile_cache.enable()
     n_samples = int(os.environ.get("EVAL_N", "48"))
     vocab = 512 if tiny else 152064
     if tiny:
