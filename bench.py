@@ -544,7 +544,7 @@ def main():
     extra = []
     # Cover every block-family rung the engine can admit with (the ladder
     # widens past 8 when admission_bucket does, e.g. the c48 config).
-    rungs = sorted({f for f in (1, 2, 3, 4, 6, 8, 10, engine._a_bucket)
+    rungs = sorted({f for f in (1, 2, 3, 4, 6, 8, 10, 12, engine._a_bucket)
                     if f <= engine._a_bucket}, reverse=True)
     for n in rungs:
         gate = time.time() + 300

@@ -1182,7 +1182,7 @@ class ServeEngine:
         compiled block shapes.  Rungs above 8 engage only when
         admission_bucket is raised (high-concurrency configs where churn
         exceeds 8 rows/round)."""
-        for f in (1, 2, 3, 4, 6, 8, 10):
+        for f in (1, 2, 3, 4, 6, 8, 10, 12):
             if n_reqs <= f < self._a_bucket:
                 return f
         return self._a_bucket

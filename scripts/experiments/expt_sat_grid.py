@@ -73,7 +73,7 @@ def run_arm(params, cfg, proc, Request, SamplingParams, ServeEngine,
             break
         time.sleep(0.05)
     extra = []
-    rungs = sorted({f for f in (1, 2, 3, 4, 6, 8, 10, engine._a_bucket)
+    rungs = sorted({f for f in (1, 2, 3, 4, 6, 8, 10, 12, engine._a_bucket)
                     if f <= engine._a_bucket}, reverse=True)
     for n in rungs:
         gate = time.time() + 300
