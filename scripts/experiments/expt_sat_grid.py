@@ -10,16 +10,22 @@ both pure configuration:
 - chunk 16 halves the post-completion idle AND doubles the admission
   cadence (families shrink, which the {1,2,3,4,6,8} ladder absorbs);
 - bucket 12 lets a catch-up wave clear backlog in one round instead of
-  carrying it forever.
+  carrying it forever;
+- a8 runs int8-activation prompt matmuls in the block rounds (~1.3x on
+  the FLOP-bound prompt side);
+- c48 adds slots (weight reads amortize; churn variance smooths).
+
+The per-freed-slot admission grace (scheduler.py) landed after the 872
+measurement — every arm includes it, so the 32x8 arm doubles as its A/B.
 
 One process, one 8B-int4 init; each arm builds a fresh ServeEngine
-(executables differ by chunk/bucket), warms its block families, then runs
-the bench phase-C closed loop (20 s ramp + 40 s window).  Arms ordered to
-maximize compile reuse.  Reference behavior being probed: vLLM continuous
-batching (reference chatts/utils/llm_utils.py:147-190).
+(executables differ by chunk/bucket/slots), warms its block families,
+then runs the bench phase-C closed loop (20 s ramp + 40 s window).
+Reference behavior being probed: vLLM continuous batching (reference
+chatts/utils/llm_utils.py:147-190).
 
 Run:  python scripts/experiments/expt_sat_grid.py [arm...]
-      (arms like 32x8 16x8 32x12 16x12; default all four)
+      Arm grammar: <chunk>x<bucket>[c<slots>][a8], e.g. 32x12c48, 16x8a8.
 """
 import collections
 import gc
