@@ -35,6 +35,9 @@ def main():
                         help="admit prompts longer than this in chunks, "
                              "interleaved with decode (bounded compiles)")
     parser.add_argument("--decode-chunk", type=int, default=8)
+    parser.add_argument("--admission-bucket", type=int, default=8,
+                        help="max rows per admission wave (block-family"
+                             " ladder caps; widen past 8 for >32 slots)")
     args = parser.parse_args()
 
     import jax
@@ -85,6 +88,7 @@ def main():
         prefill_chunk=args.prefill_chunk,
         fuse=not quant_bits,
         prefill_act_int8=args.prefill_act_int8,
+        admission_bucket=args.admission_bucket,
     )
     if not args.no_warmup:
         print("[serve] warming up prefill buckets...")
