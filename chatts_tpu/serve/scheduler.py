@@ -723,10 +723,12 @@ class ServeEngine:
         from chatts_tpu.utils.profiling import MetricsAggregator
 
         self.metrics = MetricsAggregator()
-        # Round anatomy ring buffer: one tuple per engine-loop iteration —
-        # (kind, admit_host_s, round_s, live_slots, a, npt, emitted) — the
-        # profiling substrate for the serving-efficiency work (VERDICT r2
-        # item 1).  Cheap to keep always-on.
+        # Round anatomy ring buffer: one dict per engine-loop iteration —
+        # {kind, admit_s, round_s, live, a, npt, emitted, fresh, gap_s} —
+        # the profiling substrate for the serving-efficiency work.  fresh
+        # marks first-use executable keys (compile suspects); gap_s is host
+        # time since the previous round ended (loop starvation).  Cheap to
+        # keep always-on.
         import collections
 
         self.round_log: "collections.deque" = collections.deque(maxlen=4096)
@@ -734,6 +736,16 @@ class ServeEngine:
         # loop appends — unguarded iteration raises "deque mutated during
         # iteration" under churn.
         self._round_log_lock = threading.Lock()
+        # Slow-event log + first-use executable-key tracking (r4, VERDICT r3
+        # item 2): any loop phase that blocks >= slow_event_s lands here with
+        # a label, and every round records whether it was the FIRST use of
+        # its executable shape key — the discriminator between "compile in
+        # the measurement window" and "chip degradation" that the r3 driver
+        # run could not answer.
+        self.events: "collections.deque" = collections.deque(maxlen=512)
+        self.slow_event_s = 1.0
+        self._seen_shape_keys: set = set()
+        self._last_round_end = time.perf_counter()
 
     # -- public API --------------------------------------------------------
 
@@ -929,6 +941,27 @@ class ServeEngine:
 
     # -- engine loop -------------------------------------------------------
 
+    def _event(self, label: str, seconds: float, **info) -> None:
+        """Record a slow host/loop event (admission staging, monolithic
+        prefill, round completion) for post-hoc window forensics."""
+        if seconds >= self.slow_event_s:
+            with self._round_log_lock:
+                self.events.append(
+                    (time.time(), label, round(seconds, 3), info))
+
+    def _fresh_key(self, kind: str, *dims) -> bool:
+        """True on the FIRST use of an executable shape key (== the round
+        that pays that key's jit compile, absent a persistent-cache hit)."""
+        key = (kind,) + dims
+        if key in self._seen_shape_keys:
+            return False
+        self._seen_shape_keys.add(key)
+        return True
+
+    def event_snapshot(self) -> list:
+        with self._round_log_lock:
+            return list(self.events)
+
     def _free_slots(self) -> List[int]:
         return [i for i, s in enumerate(self.slots) if s is None]
 
@@ -1050,6 +1083,7 @@ class ServeEngine:
             return
         kb = batch.input_ids.shape[0]
         t = batch.input_ids.shape[1]
+        mono_t0 = time.perf_counter()
         # Admission-row buckets: padded rows COMPUTE, so bucket tightly —
         # a single request padded to 8 rows pays 8x its prefill FLOPs
         # (~470 ms vs ~120 ms at the 8B shape), and a single padded to 2
@@ -1099,7 +1133,22 @@ class ServeEngine:
             jnp.asarray(temp), jnp.asarray(topp), key,
             mesh=self.mesh,
         )
+        fresh = self._fresh_key("mono", bp, t, batch.ts_values.shape)
         self._finalize_admission(reqs, slots, keep_rows, first)
+        # Monolithic admissions run OUTSIDE the round loop (idle device) and
+        # block on the first-token fetch — log them as their own round kind
+        # so window anatomy sees their wall time (the r3 driver's 14B
+        # saturation collapse was invisible precisely because this path was
+        # unlogged).
+        mono_s = time.perf_counter() - mono_t0
+        with self._round_log_lock:
+            self.round_log.append({
+                "kind": "mono", "admit_s": 0.0, "round_s": mono_s,
+                "live": 0, "a": kb, "npt": bp, "emitted": len(reqs),
+                "fresh": fresh, "gap_s": 0.0,
+            })
+        self._event("mono_admission", mono_s, rows=kb, bp=bp, t=t,
+                    fresh=fresh)
 
     def _finalize_admission(self, reqs, slots, keep_rows, first,
                             device_synced: bool = False) -> None:
@@ -1255,7 +1304,9 @@ class ServeEngine:
             self.slots[slot] = req
         self.rng, key = jax.random.split(self.rng)
         hdim = embeds.shape[-1]
+        fresh = self._fresh_key("embed", a, t_pad, batch.ts_values.shape)
         self._pending_mixed = {
+            "fresh": fresh,
             "reqs": reqs, "slots": slots, "keep_rows": keep_rows,
             "embeds": embeds, "o": 0, "t_pad": t_pad, "npt": npt,
             "adm_slots": jnp.asarray(adm_slots),
@@ -1299,8 +1350,9 @@ class ServeEngine:
             topp[row] = req.params.top_p
             budget[row] = req.params.max_tokens
             self.slots[slot] = req  # reserve; live after the first token
+        fresh = self._fresh_key("embed_blk", a, t, batch.ts_values.shape)
         self._pending_mixed = {
-            "mode": "block",
+            "mode": "block", "fresh": fresh,
             "reqs": reqs, "slots": slots, "keep_rows": keep_rows,
             "embeds": embeds,
             "write_rows": jnp.asarray(adm_write_rows),
@@ -1327,11 +1379,15 @@ class ServeEngine:
         )
         self.mixed_rounds_run += 1
         self._pending_mixed = None
+        fresh = st.get("fresh", False)
+        if self._fresh_key("block", st["embeds"].shape[0],
+                           st["embeds"].shape[1]):
+            fresh = True
         # Anatomy fields: actual admitted rows vs padded family size — the
         # (kb, a) pair quantifies block-round padding waste (pad rows
         # COMPUTE their full prompt FLOPs).
         return ("block", packed, st, len(st["reqs"]),
-                st["embeds"].shape[0])
+                st["embeds"].shape[0], fresh)
 
     def _dispatch_mixed(self):
         """Dispatch one fused serving round WITHOUT blocking: all decode
@@ -1364,11 +1420,14 @@ class ServeEngine:
         )
         st["o"] = o + c
         self.mixed_rounds_run += 1
+        fresh = st.pop("fresh", False)
+        if self._fresh_key("mixed", st["embeds"].shape[0], npt, kv_limit):
+            fresh = True
         finalize = None
         if st["o"] >= st["t_pad"]:
             finalize = st
             self._pending_mixed = None
-        return ("mixed", packed, finalize, st["embeds"].shape[0], npt)
+        return ("mixed", packed, finalize, st["embeds"].shape[0], npt, fresh)
 
     def _complete_round(self, handle) -> None:
         """Block on the dispatched round's packed result and apply it; for
@@ -1429,7 +1488,8 @@ class ServeEngine:
             self._eos_dev, self.budget, self.rng,
             mesh=self.mesh,
         )
-        return ("decode", packed, None, 0, 0)
+        return ("decode", packed, None, 0, 0,
+                self._fresh_key("decode", self.decode_chunk))
 
     def _dispatch_round(self):
         """Dispatch the next device round (non-blocking); None when idle."""
@@ -1494,7 +1554,10 @@ class ServeEngine:
                     if not self.waiting.empty():
                         # Idle device: monolithic admission (or staging of
                         # a long-prompt mixed admission) runs here.
+                        a0 = time.perf_counter()
                         self._admit()
+                        self._event("idle_admit",
+                                    time.perf_counter() - a0)
                     elif (self._pending_mixed is None
                           and not self.live_host.any()):
                         self._wake.wait(timeout=0.05)
@@ -1503,6 +1566,8 @@ class ServeEngine:
                 fin0 = self._finished_total
                 self._complete_round(handle)
                 t_done = time.perf_counter()
+                self._event(f"round_{handle[0]}", t_done - t0,
+                            fresh=handle[5])
                 if self._pending_mixed is None:
                     if self._finished_total > fin0:
                         # Wait for a replacement PER freed slot, not just the
@@ -1524,12 +1589,24 @@ class ServeEngine:
                 # round (admit-then-decode), so they count as live.
                 rows_live = n_live + (
                     handle[3] if handle[0] == "block" else 0)
+                t_end = time.perf_counter()
+                self._event("post_round_admit", t_end - t_done,
+                            kind=handle[0])
                 with self._round_log_lock:
-                    self.round_log.append((
-                        handle[0], time.perf_counter() - t_done,
-                        t_done - t0,
-                        rows_live, handle[3], handle[4],
-                        self.streamed_tokens - tok0))
+                    self.round_log.append({
+                        "kind": handle[0],
+                        "admit_s": t_end - t_done,
+                        "round_s": t_done - t0,
+                        "live": rows_live, "a": handle[3],
+                        "npt": handle[4],
+                        "emitted": self.streamed_tokens - tok0,
+                        "fresh": handle[5],
+                        # Host time since the previous round ended — loop
+                        # starvation (the r3 driver pathology) shows up HERE,
+                        # not in round_s.
+                        "gap_s": t0 - self._last_round_end,
+                    })
+                self._last_round_end = t_end
             except Exception as err:  # engine must survive a bad step:
                 # fail every in-flight request with the error and keep
                 # serving (the reference's worker pool dies silently here —
@@ -1563,15 +1640,23 @@ class ServeEngine:
         # Round anatomy (device rounds by kind over the ring buffer).
         import collections
 
-        agg: Dict[str, list] = collections.defaultdict(lambda: [0, 0.0, 0])
-        for kind, _adm, rnd, _live, _a, _npt, emitted in self.round_snapshot():
-            g = agg[kind]
+        agg: Dict[str, list] = collections.defaultdict(
+            lambda: [0, 0.0, 0, 0, 0.0])
+        for r in self.round_snapshot():
+            g = agg[r["kind"]]
             g[0] += 1
-            g[1] += rnd
-            g[2] += emitted
-        for kind, (n, rnd, emitted) in agg.items():
+            g[1] += r["round_s"]
+            g[2] += r["emitted"]
+            g[3] += int(r["fresh"])
+            g[4] += r["gap_s"]
+        for kind, (n, rnd, emitted, fresh, gap) in agg.items():
             out[f"rounds_{kind}"] = n
             out[f"round_{kind}_mean_ms"] = round(rnd / n * 1e3, 1)
             out[f"round_{kind}_tokens"] = emitted
+            if fresh:
+                out[f"rounds_{kind}_fresh"] = fresh
+        out["round_gap_total_s"] = round(
+            sum(g[4] for g in agg.values()), 2)
+        out["slow_events"] = len(self.events)
         out.update(self.metrics.summary())
         return out

@@ -56,9 +56,37 @@ def enable(cache_dir: str | None = None) -> str:
     cache_dir = os.path.join(cache_dir, _platform_tag())
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    # Serving executables are the point: cache everything that took real
-    # compile time (default thresholds skip sub-second / small entries).
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # min_compile_time MUST be 0 here: on the tunneled axon backend the
+    # client-side compile() returns in <1 s (the real 20-90 s compilation
+    # happens lazily server-side), so ANY positive threshold filters out
+    # nearly every executable and the cache silently never writes
+    # (measured r4: threshold 1.0 -> no entry for a 32 s compile;
+    # threshold 0 -> entry written, second process runs it in 0.4 s).
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # Bound the directory (LRU-evicted) — threshold 0 writes every entry.
+    jax.config.update("jax_compilation_cache_max_size", 16 * 1024**3)
+    _stamp_missing_atimes(cache_dir)
     _enabled = True
     return cache_dir
+
+
+def _stamp_missing_atimes(cache_dir: str) -> None:
+    """Backfill `-atime` sentinels for entries written while eviction was
+    off.  jax's LRUCache._evict_if_needed reads EVERY entry's -atime file
+    and raises FileNotFoundError — failing all subsequent cache writes —
+    if any `*-cache` file lacks its sentinel (entries written with
+    max_size unset have none)."""
+    import time
+
+    stamp = time.time_ns().to_bytes(8, "little")
+    try:
+        for name in os.listdir(cache_dir):
+            if not name.endswith("-cache"):
+                continue
+            atime = os.path.join(cache_dir, name[:-len("-cache")] + "-atime")
+            if not os.path.exists(atime):
+                with open(atime, "wb") as f:
+                    f.write(stamp)
+    except OSError:
+        pass  # cache remains usable; eviction may fail until entries churn

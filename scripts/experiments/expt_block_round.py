@@ -130,10 +130,14 @@ def main():
     gen.join(timeout=10)
     print(f"window: {toks} streamed tokens in {elapsed:.1f}s -> "
           f"{toks / elapsed:.0f} tok/s", flush=True)
-    print("rounds (kind, admit_ms, round_ms, live, a, t, emitted):")
-    for k, adm, rnd, live, a, t, em in rl:
-        print(f"  {k:6s} admit={adm * 1e3:7.1f} round={rnd * 1e3:7.1f} "
-              f"live={live:2d} a={a} t={t} emitted={em}", flush=True)
+    print("rounds (kind, admit_ms, round_ms, live, a, t, emitted, fresh, "
+          "gap_ms):")
+    for r in rl:
+        print(f"  {r['kind']:6s} admit={r['admit_s'] * 1e3:7.1f} "
+              f"round={r['round_s'] * 1e3:7.1f} live={r['live']:2d} "
+              f"a={r['a']} t={r['npt']} emitted={r['emitted']} "
+              f"fresh={int(r['fresh'])} gap={r['gap_s'] * 1e3:6.1f}",
+              flush=True)
     engine.stop()
 
 

@@ -139,17 +139,18 @@ def run_arm(params, cfg, proc, Request, SamplingParams, ServeEngine,
     stop.set()
     gen.join(timeout=10)
 
-    agg = collections.defaultdict(lambda: [0, 0.0, 0.0, 0, 0])
+    agg = collections.defaultdict(lambda: [0, 0.0, 0.0, 0, 0, 0])
     fams = collections.Counter()
-    for kind, admit_s, round_s, live, a, npt, emitted in rl:
-        g = agg[kind]
+    for r in rl:
+        g = agg[r["kind"]]
         g[0] += 1
-        g[1] += admit_s
-        g[2] += round_s
-        g[3] += emitted
-        g[4] += live
-        if kind in ("mixed", "block"):
-            fams[(kind, a, npt)] += 1
+        g[1] += r["admit_s"]
+        g[2] += r["round_s"]
+        g[3] += r["emitted"]
+        g[4] += r["live"]
+        g[5] += int(r["fresh"])
+        if r["kind"] in ("mixed", "block"):
+            fams[(r["kind"], r["a"], r["npt"])] += 1
     with lock:
         ttfts = [r.ttft_s for r in admitted_during_window
                  if r.ttft_s is not None]
@@ -162,8 +163,8 @@ def run_arm(params, cfg, proc, Request, SamplingParams, ServeEngine,
             k: {"n": n, "admit_s": round(adm, 2), "round_s": round(rnd, 2),
                 "ms_per_round": round(rnd / max(n, 1) * 1e3, 1),
                 "emitted": emit,
-                "mean_live": round(live / max(n, 1), 1)}
-            for k, (n, adm, rnd, emit, live) in sorted(agg.items())
+                "mean_live": round(live / max(n, 1), 1), "fresh": fresh}
+            for k, (n, adm, rnd, emit, live, fresh) in sorted(agg.items())
         },
         "families": {f"{k}/a{a}/t{npt}": c
                      for (k, a, npt), c in sorted(fams.items())},
