@@ -34,16 +34,25 @@ def main():
     parser.add_argument("--prefill-chunk", type=int, default=None,
                         help="admit prompts longer than this in chunks, "
                              "interleaved with decode (bounded compiles)")
-    parser.add_argument("--decode-chunk", type=int, default=8)
+    parser.add_argument("--decode-chunk", type=int, default=16,
+                        help="decode-scan steps per device round; 16 is the"
+                             " latency-tuned measured config, 32 the"
+                             " max-throughput one (BENCHMARKS.md r3 grid)")
     parser.add_argument("--admission-bucket", type=int, default=8,
                         help="max rows per admission wave (block-family"
                              " ladder caps; widen past 8 for >32 slots)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (local demos/tests; "
+                             "overrides the environment's TPU plugin)")
     args = parser.parse_args()
 
     import jax
 
     from chatts_tpu.utils import compile_cache
 
+    if args.cpu:
+        # BEFORE enable(): the cache dir is keyed by platform.
+        jax.config.update("jax_platforms", "cpu")
     compile_cache.enable()  # warm restarts reuse compiled serving shapes
 
     from chatts_tpu.core.config import tiny_config
