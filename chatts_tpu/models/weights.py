@@ -70,6 +70,16 @@ class LazyStateDict:
     def get_jnp(self, name: str, dtype) -> jnp.ndarray:
         return jnp.asarray(self[name]).astype(dtype)
 
+    def shape(self, name: str) -> Tuple[int, ...]:
+        """Tensor shape from the safetensors header — no data is read."""
+        from safetensors import safe_open
+
+        fname = self._name_to_file[name]
+        with safe_open(
+            os.path.join(self.model_path, fname), framework="np"
+        ) as f:
+            return tuple(f.get_slice(name).get_shape())
+
 
 def _key_candidates(name: str) -> Iterator[str]:
     """Checkpoint naming variants for one logical HF-style key.
@@ -77,16 +87,24 @@ def _key_candidates(name: str) -> Iterator[str]:
     The reference's vLLM mapper rewrites ``lm_head.* -> language_model.lm_head.*``
     and ``model.* -> language_model.model.*`` (chatts_vllm.py:467-470), and the
     TS encoder may sit at top level or under ``model.`` depending on which side
-    of ``from_pretrained`` the checkpoint was saved from.  We accept all of
-    them so a real ChatTS-8B/14B export loads regardless of provenance.
+    of ``from_pretrained`` the checkpoint was saved from.  The encoder module
+    itself is ``self.ts_encoder`` in the reference's vLLM classes
+    (chatts_vllm.py:480,661) but the HF remote-code export has also shipped it
+    as ``ts.*`` (the config sub-dict's name) — accept both spellings at every
+    prefix.  We accept all of them so a real ChatTS-8B/14B export loads
+    regardless of provenance.
     """
-    yield name
-    if name.startswith("model."):
-        yield name[len("model."):]
-        yield "language_model." + name
-    else:
-        yield "model." + name
-        yield "language_model." + name
+    names = [name]
+    if name.startswith("ts_encoder."):
+        names.append("ts." + name[len("ts_encoder."):])
+    for n in names:
+        yield n
+        if n.startswith("model."):
+            yield n[len("model."):]
+            yield "language_model." + n
+        else:
+            yield "model." + n
+            yield "language_model." + n
 
 
 class ResolvedStateDict:
@@ -152,6 +170,16 @@ def load_checkpoint(
         raise ValueError(f"quantize_bits must be 4 or 8, got {quantize_bits}")
     if cfg is None:
         cfg = ChatTSConfig.from_pretrained(model_path)
+    # Fail BEFORE any tensor data or device work, with the full expected-vs-
+    # found report, instead of a bare KeyError mid-stream (VERDICT r3 item 5:
+    # a real ChatTS export may use naming this loader has never met).
+    report = diagnose(model_path, cfg)
+    if not report.ok:
+        raise ValueError(
+            f"checkpoint at {model_path} does not match the loader "
+            f"contract; run python -m chatts_tpu.models.weights "
+            f"{model_path} for details.\n{report.summary()}"
+        )
     sd = ResolvedStateDict(LazyStateDict(model_path))
 
     tied = detect_tied_embeddings(sd)
@@ -412,18 +440,25 @@ import dataclasses as _dataclasses
 
 @_dataclasses.dataclass
 class LintReport:
-    """Result of :func:`lint_checkpoint`: what matched, what's missing, and
-    what the checkpoint contains that the loader would ignore."""
+    """Result of :func:`diagnose`: what matched, what's missing (with
+    closest-name suggestions), shape mismatches, and what the checkpoint
+    contains that the loader would ignore."""
 
     resolved: Dict[str, str]          # logical key -> physical key
     missing: Tuple[str, ...]          # required logical keys with no match
     unused: Tuple[str, ...]           # physical keys no logical key consumed
     tied_embeddings: bool
     gptq_projections: int             # projections resolved via GPTQ tensors
+    # (logical key, expected shape, found shape) for resolved tensors whose
+    # checkpoint shape disagrees with the config
+    shape_mismatches: Tuple[Tuple[str, Tuple[int, ...], Tuple[int, ...]], ...] = ()
+    # missing logical key -> closest checkpoint keys by name similarity
+    suggestions: Dict[str, Tuple[str, ...]] = _dataclasses.field(
+        default_factory=dict)
 
     @property
     def ok(self) -> bool:
-        return not self.missing
+        return not self.missing and not self.shape_mismatches
 
     def summary(self) -> str:
         lines = [
@@ -434,11 +469,20 @@ class LintReport:
         ]
         if self.missing:
             lines.append(f"MISSING ({len(self.missing)}):")
-            lines += [f"  {k}" for k in self.missing]
+            for k in self.missing:
+                hint = ""
+                if self.suggestions.get(k):
+                    hint = f"   (closest in checkpoint: " \
+                           f"{', '.join(self.suggestions[k])})"
+                lines.append(f"  {k}{hint}")
+        if self.shape_mismatches:
+            lines.append(f"SHAPE MISMATCHES ({len(self.shape_mismatches)}):")
+            lines += [f"  {k}: config expects {exp}, checkpoint has {got}"
+                      for k, exp, got in self.shape_mismatches]
         if self.unused:
             lines.append(f"unused checkpoint keys ({len(self.unused)}):")
             lines += [f"  {k}" for k in self.unused]
-        if not self.missing and not self.unused:
+        if self.ok and not self.unused:
             lines.append("clean: every checkpoint tensor maps to a parameter")
         return "\n".join(lines)
 
@@ -446,11 +490,62 @@ class LintReport:
 _GPTQ_SUFFIXES = (".qweight", ".qzeros", ".scales", ".g_idx")
 
 
-def lint_checkpoint(
+def _expected_shapes(cfg: ChatTSConfig) -> Dict[str, Tuple[int, ...]]:
+    """Expected HF-layout (out, in) tensor shapes for every logical key,
+    derived from the config — lets :func:`diagnose` catch a config/checkpoint
+    disagreement before any device work.  GPTQ-packed tensors are excluded
+    (their shapes depend on pack-factor/group-size)."""
+    lcfg, tcfg = cfg.llm, cfg.ts
+    h = lcfg.hidden_size
+    qd = lcfg.num_attention_heads * lcfg.head_dim
+    kvd = lcfg.num_key_value_heads * lcfg.head_dim
+    exp: Dict[str, Tuple[int, ...]] = {
+        "model.embed_tokens.weight": (lcfg.vocab_size, h),
+        "model.norm.weight": (h,),
+        "lm_head.weight": (lcfg.vocab_size, h),
+    }
+    for i in range(lcfg.num_hidden_layers):
+        lp = f"model.layers.{i}."
+        exp[lp + "input_layernorm.weight"] = (h,)
+        exp[lp + "post_attention_layernorm.weight"] = (h,)
+        exp[lp + "self_attn.q_proj.weight"] = (qd, h)
+        exp[lp + "self_attn.k_proj.weight"] = (kvd, h)
+        exp[lp + "self_attn.v_proj.weight"] = (kvd, h)
+        exp[lp + "self_attn.o_proj.weight"] = (h, qd)
+        exp[lp + "self_attn.q_proj.bias"] = (qd,)
+        exp[lp + "self_attn.k_proj.bias"] = (kvd,)
+        exp[lp + "self_attn.v_proj.bias"] = (kvd,)
+        exp[lp + "mlp.gate_proj.weight"] = (lcfg.intermediate_size, h)
+        exp[lp + "mlp.up_proj.weight"] = (lcfg.intermediate_size, h)
+        exp[lp + "mlp.down_proj.weight"] = (h, lcfg.intermediate_size)
+        if lcfg.qk_norm:
+            exp[lp + "self_attn.q_norm.weight"] = (lcfg.head_dim,)
+            exp[lp + "self_attn.k_norm.weight"] = (lcfg.head_dim,)
+    # TS patch-MLP input width per position variant (reference:
+    # chatts_vllm.py:73-81).
+    if tcfg.use_position_embedding:
+        in_size = tcfg.patch_size + tcfg.embedding_dim * tcfg.patch_size
+        exp["ts_encoder.position_embedding.weight"] = (
+            tcfg.max_sequence_length + 1, tcfg.embedding_dim)
+    elif tcfg.use_position_idx:
+        in_size = 2 * tcfg.patch_size
+    else:
+        in_size = tcfg.patch_size
+    for i in range(tcfg.num_layers):
+        exp[f"ts_encoder.mlp.{2 * i}.weight"] = (tcfg.hidden_size, in_size)
+        exp[f"ts_encoder.mlp.{2 * i}.bias"] = (tcfg.hidden_size,)
+        in_size = tcfg.hidden_size
+    return exp
+
+
+def diagnose(
     model_path: str, cfg: Optional[ChatTSConfig] = None
 ) -> LintReport:
     """Dry-run the key mapping of :func:`load_checkpoint` without reading any
-    tensor data, reporting unmatched keys instead of raising KeyError.
+    tensor data: reports unmatched keys (with closest-name suggestions),
+    config-vs-checkpoint shape disagreements (header metadata only), and
+    checkpoint keys the loader would ignore — instead of raising KeyError
+    mid-stream on a real conversion.
 
     Use this before converting a real ChatTS-8B/14B export
     (reference contract: chatts/vllm/chatts_vllm.py:467-470,612-625) to see
@@ -458,17 +553,27 @@ def lint_checkpoint(
     """
     if cfg is None:
         cfg = ChatTSConfig.from_pretrained(model_path)
-    sd = ResolvedStateDict(LazyStateDict(model_path))
+    lazy = LazyStateDict(model_path)
+    sd = ResolvedStateDict(lazy)
+    expected = _expected_shapes(cfg)
 
     resolved: Dict[str, str] = {}
     missing = []
+    shape_mismatches = []
     gptq_projections = 0
 
-    def want(logical: str, required: bool = True) -> bool:
+    def want(logical: str, required: bool = True,
+             check_shape: bool = True) -> bool:
         actual = sd.resolve(logical)
         if actual is not None:
             resolved[logical] = actual
             sd.used.add(actual)
+            exp = expected.get(logical)
+            if check_shape and exp is not None:
+                got = lazy.shape(actual)
+                if tuple(got) != tuple(exp):
+                    shape_mismatches.append((logical, tuple(exp),
+                                             tuple(got)))
             return True
         if required:
             missing.append(logical)
@@ -481,7 +586,9 @@ def lint_checkpoint(
         elif any(sd.resolve(logical + s) for s in _GPTQ_SUFFIXES[:3]):
             gptq_projections += 1
             for s in _GPTQ_SUFFIXES:
-                want(logical + s, required=(s != ".g_idx"))
+                # Packed shapes depend on pack-factor/group-size; name-only.
+                want(logical + s, required=(s != ".g_idx"),
+                     check_shape=False)
         else:
             missing.append(logical + ".weight")
         if bias:
@@ -509,6 +616,16 @@ def lint_checkpoint(
     if cfg.ts.use_position_embedding:
         want("ts_encoder.position_embedding.weight")
 
+    suggestions: Dict[str, Tuple[str, ...]] = {}
+    if missing:
+        import difflib
+
+        all_keys = list(sd.keys())
+        for k in missing:
+            close = difflib.get_close_matches(k, all_keys, n=2, cutoff=0.6)
+            if close:
+                suggestions[k] = tuple(close)
+
     unused = tuple(sorted(set(sd.keys()) - sd.used))
     return LintReport(
         resolved=resolved,
@@ -516,7 +633,13 @@ def lint_checkpoint(
         unused=unused,
         tied_embeddings=tied,
         gptq_projections=gptq_projections,
+        shape_mismatches=tuple(shape_mismatches),
+        suggestions=suggestions,
     )
+
+
+# Back-compat name (pre-r4 scripts/tests import lint_checkpoint).
+lint_checkpoint = diagnose
 
 
 def from_pretrained(

@@ -204,3 +204,81 @@ def test_qwen25_14b_config_parses():
     assert cfg.llm.attention_bias and not cfg.llm.qk_norm
     assert cfg.ts.max_sequence_length == 4096  # old max_length alias
     assert cfg.ts.hidden_size == 5120
+
+
+def test_ts_dot_naming_and_old_max_length_config(tmp_path):
+    """Old-style exports: TS encoder tensors under ``ts.*`` (the config
+    sub-dict's name) and the length cap spelled ``max_length``
+    (reference: chatts_vllm.py:245 reads both)."""
+    import json
+    import os
+
+    cfg = tiny_config(vocab_size=128, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=1, patch_size=4,
+                      max_sequence_length=32, ts_token_start_index=120)
+    params = chatts.init_params(cfg, jax.random.PRNGKey(8), dtype=jnp.float32)
+    weights.save_checkpoint(str(tmp_path), cfg, params)
+    _rewrite_keys(tmp_path, lambda k: ("ts." + k[len("ts_encoder."):])
+                  if k.startswith("ts_encoder.") else k)
+    cfg_path = os.path.join(str(tmp_path), "config.json")
+    with open(cfg_path) as f:
+        hf = json.load(f)
+    hf["ts"]["max_length"] = hf["ts"].pop("max_sequence_length")
+    with open(cfg_path, "w") as f:
+        json.dump(hf, f)
+
+    report = weights.diagnose(str(tmp_path))
+    assert report.ok, report.summary()
+    cfg2, params2 = weights.load_checkpoint(str(tmp_path), dtype=jnp.float32)
+    assert cfg2.ts.max_sequence_length == 32
+    np.testing.assert_allclose(
+        np.asarray(params2["ts_encoder"]["mlp"][0]["kernel"]),
+        np.asarray(params["ts_encoder"]["mlp"][0]["kernel"]),
+        rtol=1e-6, atol=1e-6)
+
+
+def test_diagnose_reports_shape_mismatch(tmp_path):
+    """A checkpoint whose tensor shapes disagree with config.json must be
+    caught from header metadata, before any tensor data loads."""
+    cfg = tiny_config(vocab_size=64, hidden_size=16, intermediate_size=32,
+                      num_hidden_layers=1, patch_size=4,
+                      max_sequence_length=16, ts_token_start_index=60)
+    params = chatts.init_params(cfg, jax.random.PRNGKey(9), dtype=jnp.float32)
+    weights.save_checkpoint(str(tmp_path), cfg, params)
+
+    from safetensors import safe_open
+    from safetensors.numpy import save_file
+
+    fname = str(tmp_path) + "/model.safetensors"
+    tensors = {}
+    with safe_open(fname, framework="np") as f:
+        for k in f.keys():
+            tensors[k] = np.ascontiguousarray(f.get_tensor(k))
+    tensors["model.norm.weight"] = np.zeros(17, np.float32)  # wrong width
+    save_file(tensors, fname)
+
+    report = weights.diagnose(str(tmp_path))
+    assert not report.ok
+    assert any(k == "model.norm.weight" and exp == (16,) and got == (17,)
+               for k, exp, got in report.shape_mismatches)
+    assert "SHAPE MISMATCHES" in report.summary()
+    with pytest.raises(ValueError, match="SHAPE MISMATCHES"):
+        weights.load_checkpoint(str(tmp_path), dtype=jnp.float32)
+
+
+def test_diagnose_suggests_near_miss_names(tmp_path):
+    cfg = tiny_config(vocab_size=64, hidden_size=16, intermediate_size=32,
+                      num_hidden_layers=1, patch_size=4,
+                      max_sequence_length=16, ts_token_start_index=60)
+    params = chatts.init_params(cfg, jax.random.PRNGKey(10),
+                                dtype=jnp.float32)
+    weights.save_checkpoint(str(tmp_path), cfg, params)
+    _rewrite_keys(tmp_path, lambda k: "model.final_norm.weight"
+                  if k == "model.norm.weight" else k)
+    report = weights.diagnose(str(tmp_path))
+    assert "model.norm.weight" in report.missing
+    assert "model.final_norm.weight" in report.suggestions.get(
+        "model.norm.weight", ())
+    assert "closest in checkpoint" in report.summary()
+    with pytest.raises(ValueError, match="does not match the loader"):
+        weights.load_checkpoint(str(tmp_path), dtype=jnp.float32)
