@@ -52,6 +52,7 @@ _SLOW_TESTS = {
     "test_loader_reads_gptq_projection",
     "test_act_int8_forward_close_to_bf16",
     "test_act_int8_prefill_first_token_agreement",
+    "test_act_int8_structured_weights_numerics",
     "test_engine_generate_int4_runs_and_tracks_bf16",
     "test_int4_params_place_and_run_under_tp_mesh",
     "test_int4_tp_shard_map_path_matches",
