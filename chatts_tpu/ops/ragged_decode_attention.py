@@ -336,12 +336,19 @@ def _kernel_int8(
 
         k_s = k_scales_ref[0, 0, blk]  # (BLOCK,)
         v_s = v_scales_ref[0, 0, blk]
-        k = k_buf[slot].astype(jnp.float32) * k_s[:, None]
-        v = v_buf[slot].astype(jnp.float32) * v_s[:, None]
+        # Scales FACTORED OUT of the d-contraction (VERDICT r3 weak #8):
+        # the per-token K scale distributes over the q.k dot, so it lands on
+        # the (G, BLOCK) score matrix — G*BLOCK multiplies instead of
+        # BLOCK*D for a dequantized K (18x fewer at G=7, D=128); likewise
+        # the V scale folds into the probability row p before the p.v dot.
+        # The int8->f32 convert stays (the MXU dot needs a float operand)
+        # but the dequant multiply no longer touches the D axis.
+        k = k_buf[slot].astype(jnp.float32)
+        v = v_buf[slot].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ) * k_s[None, :]
         pos = blk * block + jax.lax.broadcasted_iota(jnp.int32, (g, block), 1)
         s = jnp.where(pos < length, s, _NEG_INF)
 
@@ -352,7 +359,7 @@ def _kernel_int8(
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            p * v_s[None, :], v, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc
