@@ -182,6 +182,16 @@ class ChatTSProcessor:
             ids.extend(tail)
         return ids, series_arrays, patch_cnts, starts, encoded_text, metas
 
+    def count_tokens(self, text: str, timeseries: Sequence[np.ndarray]) -> int:
+        """Exact prompt token count (text + echo + expanded placeholders)
+        without building any padded arrays — used by the scheduler's
+        length-classed admission to group similar-length prompts into one
+        wave (padded admission rows COMPUTE, so a wave pads every row to
+        its longest member's bucket)."""
+        ids, *_ = self.encode_prompt(
+            text, [np.asarray(t) for t in timeseries])
+        return len(ids)
+
     # -- batch -------------------------------------------------------------
 
     def __call__(
@@ -190,6 +200,7 @@ class ChatTSProcessor:
         timeseries: Optional[Sequence[np.ndarray]] = None,
         *,
         pad_to_bucket: bool = True,
+        pad_tokens_to: Optional[int] = None,
         use_native: Optional[bool] = None,
         padding: bool = True,  # HF-processor signature compat (README.md:98)
         return_tensors: Optional[str] = None,  # accepted and ignored (numpy)
@@ -222,6 +233,15 @@ class ChatTSProcessor:
         b = len(text)
         max_tok = max(len(s[0]) for s in per_sample)
         t_pad = bucket_tokens(max_tok) if pad_to_bucket else max_tok
+        if pad_tokens_to is not None:
+            # Caller-pinned token width (the scheduler's pad-to-class mode:
+            # one compiled admission shape per length class instead of one
+            # per fine bucket).  Must cover the longest prompt in the batch.
+            if pad_tokens_to < max_tok:
+                raise ValueError(
+                    f"pad_tokens_to={pad_tokens_to} < longest prompt "
+                    f"({max_tok} tokens)")
+            t_pad = pad_tokens_to
 
         all_series = [ts for s in per_sample for ts in s[1]]
         n = len(all_series)

@@ -73,6 +73,11 @@ class Request:
     finish_reason: Optional[str] = None
     error: Optional[str] = None
     cancelled: bool = False
+    # Length class for admission grouping (engine-filled, cached): the
+    # pow2 >= 256 ceiling of the exact prompt token count, or -1 when the
+    # prompt fails to encode (such a request admits alone so the existing
+    # per-request error isolation catches it without poisoning a wave).
+    token_class: Optional[int] = None
 
     def cancel(self) -> None:
         """Request cancellation (client disconnect); honored at the next
@@ -84,6 +89,52 @@ class Request:
         if self.first_token_s is None:
             return None
         return self.first_token_s - self.created_s
+
+
+class _WaitQueue:
+    """FIFO wait queue the admission path can also inspect in place.
+
+    Implements the queue.Queue surface the engine and its callers use
+    (put/get_nowait/empty/qsize) over a deque, plus snapshot/remove so
+    length-classed admission can pick a same-class wave from the middle
+    of the backlog without losing arrival order for everyone else."""
+
+    def __init__(self):
+        self._d: "list[Request]" = []
+        self._lock = threading.Lock()
+
+    def put(self, item) -> None:
+        with self._lock:
+            self._d.append(item)
+
+    def get_nowait(self):
+        with self._lock:
+            if not self._d:
+                raise queue.Empty
+            return self._d.pop(0)
+
+    def empty(self) -> bool:
+        with self._lock:
+            return not self._d
+
+    def qsize(self) -> int:
+        with self._lock:
+            return len(self._d)
+
+    def snapshot(self) -> list:
+        with self._lock:
+            return list(self._d)
+
+    def remove(self, items) -> None:
+        with self._lock:
+            ids = {id(r) for r in items}
+            self._d = [r for r in self._d if id(r) not in ids]
+
+    def requeue(self, items) -> None:
+        """Put overflow back at the FRONT (they were the oldest of their
+        class; appending would let newer arrivals jump them)."""
+        with self._lock:
+            self._d = list(items) + self._d
 
 
 def _prefill_batch(
@@ -590,6 +641,8 @@ class ServeEngine:
         mixed_npt: int = 64,
         prefill_act_int8: bool = False,
         admission_bucket: int = 8,
+        admission_binning: bool = True,
+        admission_pad_to_class: bool = False,
     ):
         if fuse:
             params = chatts.maybe_fuse(params)
@@ -622,6 +675,21 @@ class ServeEngine:
         # admission throughput; larger buckets admit more per round at the
         # cost of TTFT staggering within the wave.
         self._a_bucket_cfg = admission_bucket
+        # Length-classed admission (r4): padded admission rows COMPUTE, so a
+        # FIFO wave over a heterogeneous backlog pads every row to its
+        # longest member's token bucket (an 8-row wave of 200..2000-token
+        # prompts burns ~3.5x its useful prompt FLOPs).  When on, each wave
+        # takes only requests from the OLDEST waiting request's length class
+        # (pow2 ceiling of exact token count, min 256) — FIFO-fair across
+        # classes, zero behavior change for homogeneous workloads.
+        self.admission_binning = admission_binning
+        # Pad each admission wave's token width to its length CLASS instead
+        # of the fine (128-step) bucket: the compiled admission-shape set
+        # becomes {classes} x {families} by construction — the key bound
+        # that makes OPEN prompt-length traffic (e.g. the reference eval
+        # envelope, 1-30 series of 64-1024 points) warmable.  Costs bounded
+        # extra pad FLOPs (a wave pads to <=2x its longest member).
+        self.admission_pad_to_class = admission_pad_to_class and admission_binning
         # int8xint8 prompt-side matmuls (v5e MXU 2x TOPS): halves the
         # FLOP floor of monolithic admission prefill.  Decode stays bf16.
         self.prefill_act_int8 = prefill_act_int8
@@ -701,7 +769,7 @@ class ServeEngine:
             _sample_admission_first, static_argnames=("cfg", "mesh")
         )
 
-        self.waiting: "queue.Queue[Request]" = queue.Queue()
+        self.waiting = _WaitQueue()
         # After a round frees k slots, wait up to this long for k replacement
         # requests to land in the queue before dispatching the next round
         # (saturated churn fix: a replacement submitted milliseconds after
@@ -965,6 +1033,54 @@ class ServeEngine:
     def _free_slots(self) -> List[int]:
         return [i for i, s in enumerate(self.slots) if s is None]
 
+    def _token_class(self, req: Request) -> int:
+        """Cached pow2 (>= 256) length class of a request's exact prompt
+        token count; -1 when the prompt fails to encode (admits alone so
+        the per-request error isolation catches it)."""
+        if req.token_class is None:
+            try:
+                n = self.processor.count_tokens(req.prompt, req.timeseries)
+                c = 256
+                while c < n:
+                    c *= 2
+                req.token_class = c
+            except Exception:
+                req.token_class = -1
+        return req.token_class
+
+    def _select_candidates(self, n_free: int) -> List[Request]:
+        """Pick the next admission wave from the wait queue.
+
+        FIFO order, except that with admission_binning the wave takes only
+        requests sharing the OLDEST request's length class — the oldest
+        request always admits first (starvation-free), and rows in one
+        padded wave stay within 2x of each other's token count."""
+        live: List[Request] = []
+        drop: List[Request] = []
+        for req in self.waiting.snapshot():
+            if req.cancelled:
+                req.finish_reason = "cancelled"
+                req.finished_s = time.perf_counter()
+                req.stream_queue.put(None)
+                drop.append(req)
+            else:
+                live.append(req)
+        if drop:
+            self.waiting.remove(drop)
+        if not live:
+            return []
+        if self.admission_binning and len(live) > 1:
+            head_cls = self._token_class(live[0])
+            if head_cls == -1:
+                chosen = [live[0]]  # malformed: isolate
+            else:
+                chosen = [r for r in live
+                          if self._token_class(r) == head_cls][:n_free]
+        else:
+            chosen = live[:n_free]
+        self.waiting.remove(chosen)
+        return chosen
+
     def _admit(self) -> None:
         """Admit up to len(free slots) waiting requests with ONE batched
         prefill call.  The batch is processed ONCE (not probed per request —
@@ -975,24 +1091,20 @@ class ServeEngine:
         if self._pending_mixed is not None:
             return  # an admission is in flight; new ones wait
         free = self._free_slots()
-        candidates: List[Request] = []
-        while free and not self.waiting.empty() and len(candidates) < len(free):
-            try:
-                req = self.waiting.get_nowait()
-            except queue.Empty:
-                break
-            if req.cancelled:
-                req.finish_reason = "cancelled"
-                req.finished_s = time.perf_counter()
-                req.stream_queue.put(None)
-                continue
-            candidates.append(req)
+        if not free:
+            return
+        candidates = self._select_candidates(len(free))
         if not candidates:
             return
+        pad_to = None
+        if self.admission_pad_to_class:
+            cls = max(self._token_class(r) for r in candidates)
+            pad_to = cls if cls > 0 else None
         try:
             batch = self.processor(
                 [req.prompt for req in candidates],
                 [ts for req in candidates for ts in req.timeseries],
+                pad_tokens_to=pad_to,
             )
         except Exception:
             # Some request is malformed: probe individually to isolate it.
@@ -1010,6 +1122,7 @@ class ServeEngine:
             batch = self.processor(
                 [req.prompt for req in candidates],
                 [ts for req in candidates for ts in req.timeseries],
+                pad_tokens_to=pad_to,
             )
         admitted: List[Request] = []
         keep_rows: List[int] = []
@@ -1040,8 +1153,9 @@ class ServeEngine:
             # queue and admits next round — the first sub-batch is already
             # decoding while the next one prefills.
             if len(admitted) > self._a_bucket:
-                for req in admitted[self._a_bucket:]:
-                    self.waiting.put(req)
+                # Overflow returns to the FRONT of the queue (it is the
+                # oldest of its class; put() would let newer jump it).
+                self.waiting.requeue(admitted[self._a_bucket:])
                 admitted = admitted[: self._a_bucket]
                 keep_rows = keep_rows[: len(admitted)]
             # The mixed step packs EXACTLY the admitted rows: rejected
@@ -1052,6 +1166,7 @@ class ServeEngine:
                 batch = self.processor(
                     [req.prompt for req in admitted],
                     [ts for req in admitted for ts in req.timeseries],
+                    pad_tokens_to=pad_to,
                 )
                 keep_rows = list(range(len(admitted)))
             if self._block_eligible(len(admitted), batch.input_ids.shape[1]):

@@ -722,3 +722,140 @@ def test_recent_kv_decode_matches_per_step_scatter(engine_setup, monkeypatch,
             return [r.output_tokens for r in reqs]
 
     assert run(True) == run(False)
+
+
+# -- length-classed admission (r4) -----------------------------------------
+
+
+def test_wait_queue_semantics():
+    from chatts_tpu.serve.scheduler import _WaitQueue
+
+    q = _WaitQueue()
+    assert q.empty() and q.qsize() == 0
+    a, b, c = object(), object(), object()
+    q.put(a), q.put(b), q.put(c)
+    assert q.qsize() == 3 and q.snapshot() == [a, b, c]
+    assert q.get_nowait() is a
+    q.remove([c])
+    assert q.snapshot() == [b]
+    q.requeue([a, c])  # requeue prepends, preserving order
+    assert q.snapshot() == [a, c, b]
+    import queue as _q
+
+    q.remove([a, b, c])
+    with pytest.raises(_q.Empty):
+        q.get_nowait()
+
+
+def test_count_tokens_matches_processor(engine_setup):
+    cfg, params, proc = engine_setup
+    prompt = "look at <ts><ts/> and tell me about <ts><ts/> please"
+    series = [np.arange(12.0), np.arange(24.0) * 0.5]
+    n = proc.count_tokens(prompt, series)
+    batch = proc([prompt], series, pad_to_bucket=False)
+    assert n == int(batch.seq_lens[0])
+
+
+def _mk(prompt, series=(), max_tokens=4):
+    return Request(prompt, [np.asarray(s) for s in series],
+                   SamplingParams(max_tokens=max_tokens, temperature=0.0))
+
+
+def test_select_candidates_groups_by_length_class(engine_setup):
+    eng = make_engine(engine_setup)  # loop not started
+    try:
+        long_text = " ".join(f"tok{i}" for i in range(300))  # class 512
+        s1, l1, s2, l2 = (_mk("short one"), _mk(long_text),
+                          _mk("short two"), _mk(long_text + " more"))
+        for r in (s1, l1, s2, l2):
+            eng.submit(r)
+        wave1 = eng._select_candidates(4)
+        assert wave1 == [s1, s2]  # oldest request's class, oldest-first
+        assert eng.waiting.snapshot() == [l1, l2]
+        wave2 = eng._select_candidates(4)
+        assert wave2 == [l1, l2]
+        assert eng.waiting.empty()
+        # Classes were cached on the requests.
+        assert s1.token_class == 256 and l1.token_class == 512
+    finally:
+        eng.stop()
+
+
+def test_select_candidates_binning_off_is_fifo(engine_setup):
+    eng = make_engine(engine_setup, admission_binning=False)
+    try:
+        long_text = " ".join(f"tok{i}" for i in range(300))
+        s1, l1 = _mk("short one"), _mk(long_text)
+        eng.submit(s1), eng.submit(l1)
+        assert eng._select_candidates(4) == [s1, l1]
+    finally:
+        eng.stop()
+
+
+def test_select_candidates_isolates_malformed(engine_setup):
+    eng = make_engine(engine_setup)
+    try:
+        bad = _mk("has a hole <ts><ts/> but no series")  # encode raises
+        ok = _mk("fine prompt")
+        eng.submit(bad), eng.submit(ok)
+        wave = eng._select_candidates(4)
+        assert wave == [bad] and bad.token_class == -1
+        assert eng._select_candidates(4) == [ok]
+    finally:
+        eng.stop()
+
+
+def test_select_candidates_purges_cancelled(engine_setup):
+    eng = make_engine(engine_setup)
+    try:
+        r1, r2 = _mk("one"), _mk("two")
+        eng.submit(r1), eng.submit(r2)
+        r1.cancel()
+        assert eng._select_candidates(4) == [r2]
+        assert r1.finish_reason == "cancelled" and r1.finished_s is not None
+    finally:
+        eng.stop()
+
+
+def test_mixed_length_requests_complete_with_binning(engine_setup):
+    """End-to-end: a heterogeneous backlog (two length classes) is served to
+    completion through class-grouped admission waves."""
+    with make_engine(engine_setup) as eng:
+        long_text = " ".join(f"tok{i}" for i in range(220))  # class 512
+        reqs = [_mk("short <ts><ts/>", [np.arange(8.0)], 5),
+                _mk(long_text, (), 5),
+                _mk("another short one", (), 5),
+                _mk(long_text + " extended", (), 5)]
+        for r in reqs:
+            eng.submit(r)
+        deadline = time.time() + 120
+        while any(r.finished_s is None and r.error is None for r in reqs):
+            assert time.time() < deadline, "requests did not finish"
+            time.sleep(0.01)
+    for r in reqs:
+        assert r.error is None
+        assert len(r.output_tokens) == 5
+
+
+def test_processor_pad_tokens_to(engine_setup):
+    cfg, params, proc = engine_setup
+    batch = proc(["short prompt"], [], pad_tokens_to=256)
+    assert batch.input_ids.shape[1] == 256
+    with pytest.raises(ValueError, match="pad_tokens_to"):
+        proc([" ".join(f"t{i}" for i in range(40))], [], pad_tokens_to=8)
+
+
+def test_pad_to_class_serving_completes(engine_setup):
+    """admission_pad_to_class: waves pad to their pow2 length class (one
+    compiled admission shape per class) and still serve correctly."""
+    with make_engine(engine_setup, admission_pad_to_class=True) as eng:
+        reqs = [_mk("short <ts><ts/>", [np.arange(8.0)], 5),
+                _mk(" ".join(f"tok{i}" for i in range(220)), (), 5)]
+        for r in reqs:
+            eng.submit(r)
+        deadline = time.time() + 120
+        while any(r.finished_s is None and r.error is None for r in reqs):
+            assert time.time() < deadline, "requests did not finish"
+            time.sleep(0.01)
+    for r in reqs:
+        assert r.error is None and len(r.output_tokens) == 5
