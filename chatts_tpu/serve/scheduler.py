@@ -494,6 +494,130 @@ def _decode_all_slots(
     return caches, tokens, cur_lens, budget_left, rng, packed
 
 
+def _block_prefill_merge(
+    params,
+    cfg: ChatTSConfig,
+    attn_impl: str,
+    act_int8: bool,
+    caches,
+    tokens,
+    cur_lens,
+    temperature,
+    top_p,
+    budget_left,
+    adm_write_rows,
+    adm_embeds,
+    adm_seq_lens,
+    adm_temp,
+    adm_topp,
+    adm_budget,
+    rng,
+    mesh=None,
+):
+    """Shared core of the block-mode admission: monolithic (A, T) prompt
+    block -> span-scatter prompt K/V into the big caches -> sample first
+    tokens -> merge the admitted rows' decode state.  Used by the fused
+    admit-then-decode round (_block_admission_round) and by the early-emit
+    prefill-only round (_block_prefill_round)."""
+    a, t, _ = adm_embeds.shape
+    positions = jnp.tile(jnp.arange(t, dtype=jnp.int32)[None], (a, 1))
+    kv_valid = positions < adm_seq_lens[:, None]
+    int8_kv = len(caches[0]) == 4
+    small_caches = [
+        (
+            jnp.zeros((a, c[0].shape[1], t, c[0].shape[3]), c[0].dtype),
+            jnp.zeros((a, c[1].shape[1], t, c[1].shape[3]), c[1].dtype),
+        )
+        + (
+            (jnp.ones((a, c[0].shape[1], t), jnp.float32),
+             jnp.ones((a, c[1].shape[1], t), jnp.float32))
+            if int8_kv else ()
+        )
+        for c in caches
+    ]
+    hidden, small_caches = qwen.forward(
+        params["llm"], cfg.llm, adm_embeds, positions,
+        kv_caches=small_caches, write_pos=None,
+        kv_valid=kv_valid, kv_positions=positions,
+        attn_impl=attn_impl, mesh=mesh, act_int8=act_int8,
+    )
+    # Place prompt K/V into the big caches: one span-window scatter per
+    # buffer per layer (pad rows routed out of bounds drop whole windows).
+    rows = adm_write_rows.astype(jnp.int32)
+    new_caches = []
+    for big, small in zip(caches, small_caches):
+        updated = []
+        for bbuf, sbuf in zip(big, small):
+            updated.append(qwen._scatter_token_spans(
+                bbuf, sbuf.astype(bbuf.dtype), rows, jnp.int32(0)))
+        new_caches.append(tuple(updated))
+    caches = new_caches
+    # First token for each admission row.
+    last = jnp.take_along_axis(
+        hidden,
+        jnp.maximum(adm_seq_lens - 1, 0)[:, None, None].astype(jnp.int32),
+        axis=1,
+    )
+    logits = chatts.compute_logits(params, cfg, last, mesh=mesh)[:, 0]
+    rng, key = jax.random.split(rng)
+    first = sampling.sample_per_slot(logits, key, adm_temp, adm_topp)
+    # Merge the admitted rows into the decode state (A-element scatters on
+    # (B,) vectors — trivial).
+    tokens = tokens.at[rows].set(first.astype(tokens.dtype), mode="drop")
+    cur_lens = cur_lens.at[rows].set(
+        adm_seq_lens.astype(cur_lens.dtype), mode="drop")
+    temperature = temperature.at[rows].set(adm_temp, mode="drop")
+    top_p = top_p.at[rows].set(adm_topp, mode="drop")
+    budget_left = budget_left.at[rows].set(
+        (adm_budget - 1).astype(budget_left.dtype), mode="drop")
+    return (caches, tokens, cur_lens, budget_left, temperature, top_p,
+            first, rng)
+
+
+def _block_prefill_round(
+    params,
+    cfg: ChatTSConfig,
+    attn_impl: str,
+    act_int8: bool,
+    caches,  # donated
+    tokens,  # (B,)
+    cur_lens,  # (B,)
+    temperature,  # (B,)
+    top_p,  # (B,)
+    budget_left,  # (B,)
+    adm_write_rows,  # (A,)
+    adm_embeds,  # (A, T, H)
+    adm_seq_lens,  # (A,)
+    adm_temp,  # (A,)
+    adm_topp,  # (A,)
+    adm_budget,  # (A,)
+    rng,
+    mesh=None,
+):
+    """Early-emit block admission (block_early_emit=True): ONLY the prompt
+    block + first-token sample — the first tokens stream to clients one
+    host fetch earlier, without waiting for a decode chunk to ride along.
+    The admitted rows then decode in the NEXT round through the ordinary
+    pure-decode executable (already compiled — no extra family).
+
+    TTFT anatomy: a fused block round emits its first tokens at round end,
+    after the decode scan (chunk x TPOT, 150-370 ms at the measured
+    configs).  Splitting costs one extra dispatch+fetch (~tunnel RTT) per
+    admission round and leaves the device idle for that turnaround — the
+    latency arm buys TTFT with ~that much throughput."""
+    (caches, tokens, cur_lens, budget_left, temperature, top_p, first,
+     rng) = _block_prefill_merge(
+        params, cfg, attn_impl, act_int8, caches, tokens, cur_lens,
+        temperature, top_p, budget_left, adm_write_rows, adm_embeds,
+        adm_seq_lens, adm_temp, adm_topp, adm_budget, rng, mesh=mesh)
+    # Liveness for the admitted rows is recomputed HOST-side from the
+    # fetched first tokens (_finalize_admission handles per-request eos
+    # sets and budgets); the next decode round's `active` comes from
+    # live_host, so no device-side active update is needed here.
+    return (caches, tokens, cur_lens, budget_left, temperature, top_p,
+            rng, first.astype(jnp.int32))
+
+
 def _block_admission_round(
     params,
     cfg: ChatTSConfig,
@@ -544,66 +668,22 @@ def _block_admission_round(
     (bounded compiles / transient memory; ServeEngine._start_mixed_admission
     picks the mode)."""
     b = tokens.shape[0]
-    a, t, hdim = adm_embeds.shape
-    # 1. Monolithic prompt block: self-contained causal prefill over T.
-    positions = jnp.tile(jnp.arange(t, dtype=jnp.int32)[None], (a, 1))
-    kv_valid = positions < adm_seq_lens[:, None]
-    int8_kv = len(caches[0]) == 4
-    small_caches = [
-        (
-            jnp.zeros((a, c[0].shape[1], t, c[0].shape[3]), c[0].dtype),
-            jnp.zeros((a, c[1].shape[1], t, c[1].shape[3]), c[1].dtype),
-        )
-        + (
-            (jnp.ones((a, c[0].shape[1], t), jnp.float32),
-             jnp.ones((a, c[1].shape[1], t), jnp.float32))
-            if int8_kv else ()
-        )
-        for c in caches
-    ]
-    hidden, small_caches = qwen.forward(
-        params["llm"], cfg.llm, adm_embeds, positions,
-        kv_caches=small_caches, write_pos=None,
-        kv_valid=kv_valid, kv_positions=positions,
-        attn_impl=attn_impl, mesh=mesh, act_int8=act_int8,
-    )
-    # 2. Place prompt K/V into the big caches: one span-window scatter per
-    # buffer per layer (pad rows routed out of bounds drop whole windows).
-    rows = adm_write_rows.astype(jnp.int32)
-    new_caches = []
-    for big, small in zip(caches, small_caches):
-        updated = []
-        for bbuf, sbuf in zip(big, small):
-            updated.append(qwen._scatter_token_spans(
-                bbuf, sbuf.astype(bbuf.dtype), rows, jnp.int32(0)))
-        new_caches.append(tuple(updated))
-    caches = new_caches
-    # 3. First token for each admission row.
-    last = jnp.take_along_axis(
-        hidden,
-        jnp.maximum(adm_seq_lens - 1, 0)[:, None, None].astype(jnp.int32),
-        axis=1,
-    )
-    logits = chatts.compute_logits(params, cfg, last, mesh=mesh)[:, 0]
-    rng, key = jax.random.split(rng)
-    first = sampling.sample_per_slot(logits, key, adm_temp, adm_topp)
+    # 1-4. Prompt block, K/V span scatter, first tokens, decode-state merge
+    # (shared with the early-emit prefill round).
+    (caches, tokens, cur_lens, budget_left, temperature, top_p, first,
+     rng) = _block_prefill_merge(
+        params, cfg, attn_impl, act_int8, caches, tokens, cur_lens,
+        temperature, top_p, budget_left, adm_write_rows, adm_embeds,
+        adm_seq_lens, adm_temp, adm_topp, adm_budget, rng, mesh=mesh)
     first_b = jnp.full((b,), -1, jnp.int32)
     first_b = jax.lax.dynamic_update_slice(first_b, first.astype(jnp.int32),
                                            (0,))
-    # 4. Merge the admitted rows into the decode state (A-element scatters
-    # on (B,) vectors — trivial) so this round's scan decodes them too.
     # Device liveness uses the GLOBAL eos set, a subset of every request's
     # host-side set (host _finalize/_process remain authoritative; device
     # over-decode is discarded there).
+    rows = adm_write_rows.astype(jnp.int32)
     first_eos = jnp.any(first[:, None] == eos_ids[None, :], axis=1)
     adm_live = (~first_eos) & (adm_budget > 1)
-    tokens = tokens.at[rows].set(first.astype(tokens.dtype), mode="drop")
-    cur_lens = cur_lens.at[rows].set(
-        adm_seq_lens.astype(cur_lens.dtype), mode="drop")
-    temperature = temperature.at[rows].set(adm_temp, mode="drop")
-    top_p = top_p.at[rows].set(adm_topp, mode="drop")
-    budget_left = budget_left.at[rows].set(
-        (adm_budget - 1).astype(budget_left.dtype), mode="drop")
     active = active.at[rows].set(adm_live, mode="drop")
     # 5. The decode scan, admitted rows live from step 0.
     caches, tokens, cur_lens, budget_left, rng, emitted, live = _decode_scan(
@@ -643,6 +723,7 @@ class ServeEngine:
         admission_bucket: int = 8,
         admission_binning: bool = True,
         admission_pad_to_class: bool = False,
+        block_early_emit: bool = False,
     ):
         if fuse:
             params = chatts.maybe_fuse(params)
@@ -690,6 +771,11 @@ class ServeEngine:
         # envelope, 1-30 series of 64-1024 points) warmable.  Costs bounded
         # extra pad FLOPs (a wave pads to <=2x its longest member).
         self.admission_pad_to_class = admission_pad_to_class and admission_binning
+        # Early first-token emission (r4, latency arm): block admissions
+        # run prefill-only rounds — first tokens stream one fetch earlier
+        # instead of after the decode chunk (chunk x TPOT sooner), at the
+        # cost of one extra dispatch+fetch turnaround per admission round.
+        self.block_early_emit = block_early_emit
         # int8xint8 prompt-side matmuls (v5e MXU 2x TOPS): halves the
         # FLOP floor of monolithic admission prefill.  Decode stays bf16.
         self.prefill_act_int8 = prefill_act_int8
@@ -762,6 +848,11 @@ class ServeEngine:
             _block_admission_round,
             static_argnames=("cfg", "attn_impl", "act_int8", "chunk_size",
                              "mesh"),
+            donate_argnames=("caches",),
+        )
+        self._block_pre_jit = jax.jit(
+            _block_prefill_round,
+            static_argnames=("cfg", "attn_impl", "act_int8", "mesh"),
             donate_argnames=("caches",),
         )
         self._slice_jit = jax.jit(_slice_admission, static_argnames=("c",))
@@ -1478,6 +1569,27 @@ class ServeEngine:
 
     def _dispatch_block(self):
         st = self._pending_mixed
+        if self.block_early_emit:
+            (
+                self.caches, self.tokens, self.cur_lens, self.budget,
+                self.temperature, self.top_p, self.rng, first,
+            ) = self._block_pre_jit(
+                self.params, self.cfg, self.attn_impl,
+                self.prefill_act_int8,
+                self.caches, self.tokens, self.cur_lens,
+                self.temperature, self.top_p, self.budget,
+                st["write_rows"], st["embeds"], st["seq_dev"],
+                st["temp"], st["topp"], st["budget_a"], self.rng,
+                mesh=self.mesh,
+            )
+            self.mixed_rounds_run += 1
+            self._pending_mixed = None
+            fresh = st.get("fresh", False)
+            if self._fresh_key("block_pre", st["embeds"].shape[0],
+                               st["embeds"].shape[1]):
+                fresh = True
+            return ("block_pre", first, st, len(st["reqs"]),
+                    st["embeds"].shape[0], fresh)
         active = self._active_device()
         (
             self.caches, self.tokens, self.cur_lens, self.budget,
@@ -1550,6 +1662,15 @@ class ServeEngine:
         activate the admitted slots."""
         kind, packed, finalize = handle[0], handle[1], handle[2]
         arr = np.asarray(packed)
+        if kind == "block_pre":
+            # Early-emit block admission: the fetched array IS the (A,)
+            # first tokens — stream them now; the admitted rows decode in
+            # the next (pure-decode) round.  Device state for the rows was
+            # merged in-round; liveness is host-recomputed per request.
+            self._finalize_admission(finalize["reqs"], finalize["slots"],
+                                     finalize["keep_rows"], arr,
+                                     device_synced=True)
+            return
         if kind == "block":
             # (B, chunk+2): emitted | live | first-token column (sampled
             # in-round — no extra device call or fetch).  Finalize FIRST:

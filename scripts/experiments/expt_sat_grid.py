@@ -42,11 +42,11 @@ from chatts_tpu.utils import compile_cache
 
 def run_arm(params, cfg, proc, Request, SamplingParams, ServeEngine,
             jnp, chunk: int, bucket: int, a8: bool = False,
-            nslots: int = 32) -> dict:
+            nslots: int = 32, ee: bool = False) -> dict:
     engine = ServeEngine(
         params, cfg, proc, max_batch_size=nslots, admission_bucket=bucket,
         max_model_len=1024, cache_dtype=jnp.bfloat16, decode_chunk=chunk,
-        fuse=False, prefill_act_int8=a8,
+        fuse=False, prefill_act_int8=a8, block_early_emit=ee,
     )
     rng = np.random.default_rng(0)
     filler = " ".join(f"word{i}" for i in range(400))
@@ -155,10 +155,13 @@ def run_arm(params, cfg, proc, Request, SamplingParams, ServeEngine,
         ttfts = [r.ttft_s for r in admitted_during_window
                  if r.ttft_s is not None]
     p50 = float(np.median(ttfts) * 1e3) if ttfts else float("nan")
+    p90 = (float(np.percentile(ttfts, 90) * 1e3) if ttfts
+           else float("nan"))
     out = {
-        "chunk": chunk, "bucket": bucket,
+        "chunk": chunk, "bucket": bucket, "ee": ee,
         "agg_tps": round(toks / elapsed, 1),
         "ttft_p50_ms": round(p50, 1),
+        "ttft_p90_ms": round(p90, 1),
         "anatomy": {
             k: {"n": n, "admit_s": round(adm, 2), "round_s": round(rnd, 2),
                 "ms_per_round": round(rnd / max(n, 1) * 1e3, 1),
@@ -169,9 +172,9 @@ def run_arm(params, cfg, proc, Request, SamplingParams, ServeEngine,
         "families": {f"{k}/a{a}/t{npt}": c
                      for (k, a, npt), c in sorted(fams.items())},
     }
-    print(f"  ARM chunk={chunk} bucket={bucket}: {toks} tok in "
-          f"{elapsed:.1f}s -> {out['agg_tps']} tok/s, TTFT p50 "
-          f"{out['ttft_p50_ms']} ms", flush=True)
+    print(f"  ARM chunk={chunk} bucket={bucket} ee={int(ee)}: {toks} "
+          f"tok in {elapsed:.1f}s -> {out['agg_tps']} tok/s, TTFT p50 "
+          f"{out['ttft_p50_ms']} ms p90 {out['ttft_p90_ms']} ms", flush=True)
     for k, v in out["anatomy"].items():
         print(f"    {k}: {v}", flush=True)
     print(f"    families: {out['families']}", flush=True)
@@ -224,8 +227,10 @@ def main():
         "32x8", "32x12", "16x8", "16x12", "32x8a8", "32x12c48"]
     results = []
     for arm in arms:
-        # Arm grammar: <chunk>x<bucket>[c<slots>][a8]
+        # Arm grammar: <chunk>x<bucket>[c<slots>][a8][ee]
         spec = arm
+        ee = spec.endswith("ee")
+        spec = spec.removesuffix("ee")
         a8 = spec.endswith("a8")
         spec = spec.removesuffix("a8")
         nslots = 32
@@ -236,10 +241,10 @@ def main():
         else:
             bucket_s = rest
         chunk, bucket = int(chunk_s), int(bucket_s)
-        print(f"=== arm chunk={chunk} bucket={bucket} c={nslots} a8={a8}",
-              flush=True)
+        print(f"=== arm chunk={chunk} bucket={bucket} c={nslots} "
+              f"a8={a8} ee={ee}", flush=True)
         r = run_arm(params, cfg, proc, Request, SamplingParams,
-                    ServeEngine, jnp, chunk, bucket, a8, nslots)
+                    ServeEngine, jnp, chunk, bucket, a8, nslots, ee)
         r["a8"] = a8
         r["slots"] = nslots
         results.append(r)
@@ -247,8 +252,10 @@ def main():
     print("\n=== summary")
     for r in results:
         print(f"chunk {r['chunk']:2d} bucket {r['bucket']:2d} "
-              f"c{r['slots']} a8 {int(r['a8'])}: {r['agg_tps']:7.1f} tok/s  "
-              f"TTFT p50 {r['ttft_p50_ms']:7.1f} ms", flush=True)
+              f"c{r['slots']} a8 {int(r['a8'])} ee {int(r.get('ee', False))}: "
+              f"{r['agg_tps']:7.1f} tok/s  TTFT p50 "
+              f"{r['ttft_p50_ms']:7.1f} ms p90 "
+              f"{r.get('ttft_p90_ms', float('nan')):7.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

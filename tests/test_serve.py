@@ -837,6 +837,72 @@ def test_mixed_length_requests_complete_with_binning(engine_setup):
         assert len(r.output_tokens) == 5
 
 
+def test_block_early_emit_token_exact(engine_setup):
+    """block_early_emit: the admission runs as a prefill-only round (first
+    tokens stream before any decode chunk) and the admitted rows decode in
+    the next pure-decode round — greedy output must match the batch engine
+    exactly (same prompt block, same K/V, same state merge)."""
+    cfg, params, proc = engine_setup
+    from chatts_tpu.core.config import GenerationConfig
+    from chatts_tpu.runtime.engine import InferenceEngine
+
+    be = InferenceEngine(params, cfg, attn_impl="xla", fuse=False,
+                         cache_dtype=jnp.float32)
+
+    def expected(prompt, ts, n):
+        return be.generate(
+            proc([prompt], ts), GenerationConfig(max_new_tokens=n, greedy=True)
+        ).token_ids[0]
+
+    p1, t1 = "runner <ts><ts/> early", [np.arange(12.0)]
+    p2, t2 = "joins <ts><ts/> early", [np.sin(np.arange(8.0))]
+
+    with make_engine(engine_setup, block_early_emit=True) as eng:
+        r1 = Request(p1, t1, SamplingParams(max_tokens=24, temperature=0.0))
+        eng.submit(r1)
+        deadline = time.time() + 60
+        while not r1.output_tokens:
+            assert time.time() < deadline
+            time.sleep(0.005)
+        r2 = Request(p2, t2, SamplingParams(max_tokens=6, temperature=0.0))
+        eng.submit(r2)
+        while any(r.finished_s is None and r.error is None for r in (r1, r2)):
+            assert time.time() < deadline
+            time.sleep(0.002)
+        kinds = {r["kind"] for r in eng.round_snapshot()}
+    assert r1.error is None and r2.error is None
+    assert "block_pre" in kinds  # the early-emit path actually ran
+    assert "block" not in kinds  # and replaced the fused block round
+    assert r1.output_tokens == expected(p1, t1, 24)
+    assert r2.output_tokens == expected(p2, t2, 6)
+
+
+def test_block_early_emit_streams_first_token_alone(engine_setup):
+    """The early-emit admission delivers exactly [first] on the stream
+    before any scan chunk arrives (the fused round delivers [first] then
+    its own chunk in one completion)."""
+    cfg, params, proc = engine_setup
+    with make_engine(engine_setup, block_early_emit=True) as eng:
+        r1 = Request("runner <ts><ts/>", [np.arange(12.0)],
+                     SamplingParams(max_tokens=40, temperature=0.0))
+        eng.submit(r1)
+        deadline = time.time() + 60
+        while not r1.output_tokens:
+            assert time.time() < deadline
+            time.sleep(0.005)
+        r2 = Request("late <ts><ts/>", [np.arange(8.0)],
+                     SamplingParams(max_tokens=6, temperature=0.0))
+        eng.submit(r2)
+        chunks = []
+        while True:
+            item = r2.stream_queue.get(timeout=60)
+            if item is None:
+                break
+            chunks.append(list(item))
+    assert len(chunks[0]) == 1  # first token arrived alone (prefill round)
+    assert sum(len(c) for c in chunks) == 6
+
+
 def test_processor_pad_tokens_to(engine_setup):
     cfg, params, proc = engine_setup
     batch = proc(["short prompt"], [], pad_tokens_to=256)
