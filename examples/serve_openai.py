@@ -41,6 +41,18 @@ def main():
     parser.add_argument("--admission-bucket", type=int, default=8,
                         help="max rows per admission wave (block-family"
                              " ladder caps; widen past 8 for >32 slots)")
+    parser.add_argument("--no-admission-binning", action="store_true",
+                        help="disable length-classed admission waves "
+                             "(pure FIFO; heterogeneous prompt lengths pad "
+                             "each wave to its longest member)")
+    parser.add_argument("--pad-to-class", action="store_true",
+                        help="pad admission waves to their pow2 length "
+                             "class: bounds compiled admission shapes for "
+                             "open prompt-length traffic at <=2x pad cost")
+    parser.add_argument("--early-first-token", action="store_true",
+                        help="stream each request's first token right "
+                             "after its prompt block instead of after the "
+                             "admission round's decode chunk (latency arm)")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (local demos/tests; "
                              "overrides the environment's TPU plugin)")
@@ -98,6 +110,9 @@ def main():
         fuse=not quant_bits,
         prefill_act_int8=args.prefill_act_int8,
         admission_bucket=args.admission_bucket,
+        admission_binning=not args.no_admission_binning,
+        admission_pad_to_class=args.pad_to_class,
+        block_early_emit=args.early_first_token,
     )
     if not args.no_warmup:
         print("[serve] warming up prefill buckets...")
