@@ -88,11 +88,13 @@ _PROBE = (
 )
 
 
-def wait_for_healthy_chip(max_wait_s: float = 1200.0) -> None:
+def wait_for_healthy_chip(max_wait_s: float = 1200.0) -> bool:
     """The v5e behind the axon tunnel intermittently wedges (simple matmuls
     hang; recovers in ~20-30 min).  Probe it in a SUBPROCESS with a timeout
     before initializing our own client, so a wedged chip delays the bench
-    instead of hanging it or recording garbage numbers."""
+    instead of hanging it or recording garbage numbers.  Returns False when
+    the wait expired without ever seeing a healthy probe (the caller tags
+    the result "degraded" instead of presenting the numbers as healthy)."""
     import subprocess
 
     deadline = time.time() + max_wait_s
@@ -107,13 +109,13 @@ def wait_for_healthy_chip(max_wait_s: float = 1200.0) -> None:
             if r.returncode == 0 and "probe_ok" in r.stdout:
                 log(f"chip healthy (probe attempt {attempt}): "
                     f"{r.stdout.strip().splitlines()[-1]}")
-                return
+                return True
             log(f"chip probe attempt {attempt} failed rc={r.returncode}")
         except subprocess.TimeoutExpired:
             log(f"chip probe attempt {attempt} timed out (wedged?)")
         if time.time() > deadline:
             log("chip never became healthy; running anyway")
-            return
+            return False
         time.sleep(90)
 
 
@@ -470,8 +472,52 @@ def main():
     budget_s = float(os.environ.get("CHATTS_BENCH_BUDGET_S", "1500"))
     hard_deadline = t_start + budget_s
     degraded_flags: list = []
+
+    # Last-resort watchdog (VERDICT r3 item 1): if the main thread is stuck
+    # inside a device call when the budget expires (a WEDGED chip hangs jit
+    # dispatches indefinitely — per-phase deadlines never fire), print
+    # whatever partial result exists as a parseable JSON line and exit 0.
+    # A degraded-but-parsed record beats r3's rc=124/parsed-null.
+    partial: dict = {
+        "metric": "decode_tokens_per_sec_per_chip_chatts8b_int4_c32",
+        "value": 0.0,
+        "unit": "tokens/s/chip",
+        "vs_baseline": 0.0,
+        "degraded": True,
+        "degraded_why": ["watchdog: budget expired mid-phase (chip wedged?)"],
+    }
+    final_printed = threading.Event()
+    children: list = []  # 14B subprocess, killed on emergency exit
+
+    def _watchdog():
+        wake = hard_deadline - 60.0
+        while time.time() < wake:
+            if final_printed.wait(timeout=min(30.0, max(0.5, wake - time.time()))):
+                return
+        if not final_printed.is_set():
+            partial["watchdog_elapsed_s"] = round(time.time() - t_start, 1)
+            print(json.dumps(partial), flush=True)
+            log("WATCHDOG: budget expired before the bench finished; "
+                "emergency JSON emitted, exiting 0")
+            for p in children:
+                try:
+                    p.kill()
+                except Exception:
+                    pass
+            import os as _os
+
+            _os._exit(0)
+
     if not tiny:
-        wait_for_healthy_chip(max_wait_s=min(600.0, budget_s * 0.4))
+        threading.Thread(target=_watchdog, daemon=True).start()
+        if not wait_for_healthy_chip(max_wait_s=min(600.0, budget_s * 0.4)):
+            degraded_flags.append("chip never healthy at bench start")
+            partial["degraded_why"].append("chip never healthy at bench start")
+
+    def pdl(s: float = 300.0) -> float:
+        # Per-phase wait deadline, clamped so a run of timed-out phases on a
+        # wedged chip can never stack past the watchdog margin.
+        return min(time.time() + s, hard_deadline - 90.0)
 
     import jax
     import jax.numpy as jnp
@@ -629,7 +675,7 @@ def main():
     rungs = sorted({f for f in (1, 2, 3, 4, 6, 8, 10, 12, engine._a_bucket)
                     if f <= engine._a_bucket}, reverse=True)
     for n in rungs:
-        gate = time.time() + 300
+        gate = pdl(300)
         while (len(engine._free_slots()) < n
                or not engine.live_host.any()):
             if time.time() > gate:
@@ -672,7 +718,7 @@ def main():
         r.params.max_tokens = 350  # fits prompt+budget under cap 1024
         engine.submit(r)
         deco.append(r)
-    deadline = time.time() + 300
+    deadline = pdl(300)
     while not all(r.output_tokens or r.error for r in deco):
         if time.time() > deadline:
             break
@@ -691,6 +737,8 @@ def main():
         r.cancel()
     drain()
     log(f"phase A: decode-only {decode_tps:.0f} tok/s at c{concurrency}")
+    partial.update(value=round(decode_tps, 1),
+                   vs_baseline=round(decode_tps / R1_8B_C32_TOKS, 3))
 
     # --- Phase B: TTFT at admission-burst 8, warm idle engine (r1's TTFT
     # definition: a request prefills with its arrival burst) ---------------
@@ -699,7 +747,7 @@ def main():
         reqs = [mkreq() for _ in range(8)]
         for r in reqs:
             engine.submit(r)
-        deadline = time.time() + 300
+        deadline = pdl(300)
         while not all(r.ttft_s is not None or r.error for r in reqs):
             if time.time() > deadline:
                 break
@@ -721,7 +769,7 @@ def main():
     for trial in range(3 if tiny else 6):
         r = mkreq()
         engine.submit(r)
-        deadline = time.time() + 300
+        deadline = pdl(300)
         while r.ttft_s is None and not r.error:
             if time.time() > deadline:
                 break
@@ -874,6 +922,13 @@ def main():
     # EARLY line: a mid-14B driver kill must still leave the 8B headline
     # parseable on stdout (VERDICT r3 item 1 — r3 had rc=124, parsed null).
     print(json.dumps(dict(result, chatts14b={"pending": True})), flush=True)
+    # Re-arm the watchdog's emergency payload with the full 8B result: if
+    # the 14B phase wedges, the emergency line carries real numbers.
+    partial.clear()
+    partial.update(result, degraded=True,
+                   chatts14b={"skipped": "watchdog cut the 14B phase"})
+    partial["degraded_why"] = (result.get("degraded_why") or []) + [
+        "watchdog: 14B phase exceeded the budget"]
 
     # --- Phase D: 14B shape, in its own process (serial — concurrent TPU
     # clients stall each other on this tunnel), with ONLY the remaining
@@ -892,21 +947,26 @@ def main():
         env = dict(os.environ, CHATTS_BENCH_14B="1",
                    CHATTS_BENCH_14B_BUDGET_S=str(int(remaining - 90)))
         t0 = time.perf_counter()
+        proc14b = subprocess.Popen(
+            [sys.executable, __file__], env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True,
+        )
+        children.append(proc14b)  # watchdog kills it on emergency exit
         try:
-            r = subprocess.run(
-                [sys.executable, __file__], env=env, capture_output=True,
-                text=True, timeout=max(300.0, remaining - 45),
-            )
-            sys.stderr.write(r.stderr[-4000:])
-            for line in r.stdout.strip().splitlines():
+            out_s, err_s = proc14b.communicate(
+                timeout=max(300.0, remaining - 75))
+            sys.stderr.write(err_s[-4000:])
+            for line in out_s.strip().splitlines():
                 try:
                     results_14b = json.loads(line)
                 except json.JSONDecodeError:
                     continue
             if not results_14b:
-                results_14b = {"skipped": f"subprocess rc={r.returncode}, "
+                results_14b = {"skipped":
+                               f"subprocess rc={proc14b.returncode}, "
                                "no JSON"}
         except subprocess.TimeoutExpired:
+            proc14b.kill()
             log("14B phase hit its subprocess timeout")
             results_14b = {"skipped": "subprocess timeout"}
         log(f"14B phase: {time.perf_counter() - t0:.1f}s -> {results_14b}")
@@ -915,6 +975,7 @@ def main():
     if results_14b.get("degraded"):
         result["degraded"] = True
         result.setdefault("degraded_why", []).append("14B subprocess")
+    final_printed.set()
     print(json.dumps(result), flush=True)
 
 
