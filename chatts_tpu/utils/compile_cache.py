@@ -35,14 +35,28 @@ def _platform_tag() -> str:
              or os.environ.get("JAX_PLATFORMS") or "default")
     first = plats.split(",")[0].strip().lower() or "default"
     if first == "cpu":
+        # Fingerprint model identity as well as flags: hosts with identical
+        # flag sets but different model/stepping make XLA pick different
+        # pseudo-features (prefer-no-scatter/gather on Sapphire Rapids),
+        # and those are baked into the AOT entry (cpu_aot_loader warns
+        # "machine type ... doesn't match" when such an entry crosses
+        # hosts).
+        keys = ("flags", "model name", "cpu family", "model", "stepping",
+                "vendor_id")
         try:
+            lines = []
             with open("/proc/cpuinfo") as f:
-                flags = next((ln for ln in f if ln.startswith("flags")), "")
+                for ln in f:
+                    if not ln.strip():
+                        break  # first CPU block only
+                    if ln.split(":")[0].strip() in keys:
+                        lines.append(ln.strip())
+            ident = "\n".join(lines)
         except OSError:
             import platform as _platform
 
-            flags = _platform.processor()
-        return "cpu-" + hashlib.sha1(flags.encode()).hexdigest()[:10]
+            ident = _platform.processor()
+        return "cpu-" + hashlib.sha1(ident.encode()).hexdigest()[:10]
     return first
 
 
