@@ -7,7 +7,9 @@ scales beside 5.05 GB weights; bf16 would be 5.6 GB and still fit at c8,
 but int8 is the serving configuration) and measures the long-context
 envelope end-to-end:
 
-  1. ONE ~10k-token prompt (75 series x 1024 points) on an idle engine —
+  1. ONE ~10k-token prompt (40 series x 4096 points — the generator's
+     long-tail series length, within the 50-series processor limit) on an
+     idle engine —
      takes the monolithic flash-attention prefill (the engine's idle-path
      dispatch; the flash kernel is the only prefill that runs at T 10240,
      BENCHMARKS.md dispatch table), then ragged int8 decode at ~10k
@@ -106,7 +108,10 @@ def main():
     rng = np.random.default_rng(0)
 
     def long_req(max_tokens):
-        n_series, slen = (8, 64) if tiny else (75, 1024)
+        # 40 x 4096-pt series = 10,240 patch tokens (+ text/fragments):
+        # ~10.4k-token prompt, inside the 50-series per-prompt limit
+        # (reference: chatts_vllm.py:220) and the 4096-pt generator tail.
+        n_series, slen = (8, 64) if tiny else (40, 4096)
         series = [rng.normal(0, 3, slen).cumsum() for _ in range(n_series)]
         holes = " ".join(encoding.TS_PAIR for _ in series)
         prompt = (f"system: you are a time-series analyst. user: a long "
