@@ -1190,7 +1190,12 @@ class ServeEngine:
         pad_to = None
         if self.admission_pad_to_class:
             cls = max(self._token_class(r) for r in candidates)
-            pad_to = cls if cls > 0 else None
+            # Clamp the class width to the cache capacity: a >cap/2-token
+            # prompt's pow2 class exceeds max_model_len (class 8192 at cap
+            # 6144), which no admission path can place; every valid prompt
+            # fits cap (admission rejects n_tok + max_tokens > cap), so the
+            # clamped width still covers the wave.
+            pad_to = min(cls, self.max_model_len) if cls > 0 else None
         try:
             batch = self.processor(
                 [req.prompt for req in candidates],

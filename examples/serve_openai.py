@@ -49,10 +49,13 @@ def main():
                         help="pad admission waves to their pow2 length "
                              "class: bounds compiled admission shapes for "
                              "open prompt-length traffic at <=2x pad cost")
-    parser.add_argument("--early-first-token", action="store_true",
+    parser.add_argument("--early-first-token",
+                        action=argparse.BooleanOptionalAction, default=True,
                         help="stream each request's first token right "
                              "after its prompt block instead of after the "
-                             "admission round's decode chunk (latency arm)")
+                             "admission round's decode chunk (measured r4: "
+                             "TTFT p50 753->408 ms at equal throughput; "
+                             "--no-early-first-token reverts)")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (local demos/tests; "
                              "overrides the environment's TPU plugin)")

@@ -174,6 +174,19 @@ def phase_saturation(engine, mkreq, window_s, tiny):
     gen = threading.Thread(target=loadgen, daemon=True)
     gen.start()
     time.sleep(5 if tiny else 30)  # ramp: fill slots, flush cold compiles
+    if not tiny:
+        # Compile-aware ramp extension: open prompt-length traffic compiles
+        # {class} x {family} admission shapes; hold the window until the
+        # last 5 rounds are non-fresh (cap 600 s — a cold host cache needs
+        # most of the ladder; the persistent compile cache makes rerun
+        # ramps short).
+        ramp0 = time.time()
+        while time.time() - ramp0 < 600:
+            recent = engine.round_snapshot()[-5:]
+            if len(recent) >= 5 and not any(r["fresh"] for r in recent):
+                break
+            time.sleep(2)
+        print(f"ramp extension: {time.time() - ramp0:.1f}s", flush=True)
     engine.round_log.clear()
     base = engine.streamed_tokens
     window_open.set()

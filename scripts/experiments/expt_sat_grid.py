@@ -126,7 +126,18 @@ def run_arm(params, cfg, proc, Request, SamplingParams, ServeEngine,
 
     gen = threading.Thread(target=loadgen, daemon=True)
     gen.start()
+    # Compile-aware ramp: hold the window open until the last 5 rounds are
+    # all non-fresh (a fresh mono/block key mid-ramp is a 30-60 s compile
+    # that would otherwise bleed into the window — the 16x8ee arm measured
+    # 88 tok/s because of exactly that), minimum 20 s, cap 300 s.
+    ramp0 = time.time()
     time.sleep(20)
+    while time.time() - ramp0 < 300:
+        recent = engine.round_snapshot()[-5:]
+        if len(recent) >= 5 and not any(r["fresh"] for r in recent):
+            break
+        time.sleep(2)
+    print(f"  ramp: {time.time() - ramp0:.1f}s", flush=True)
     engine.round_log.clear()
     base = engine.streamed_tokens
     window_open.set()

@@ -903,6 +903,23 @@ def test_block_early_emit_streams_first_token_alone(engine_setup):
     assert sum(len(c) for c in chunks) == 6
 
 
+def test_pad_to_class_clamps_to_cap(engine_setup):
+    """A prompt longer than cap/2 has a pow2 class wider than max_model_len
+    (class 512 at cap 384); the admission wave must clamp its padded width
+    to the cap — no admission path can place a wider block."""
+    with make_engine(engine_setup, admission_pad_to_class=True,
+                     max_model_len=384) as eng:
+        long_prompt = " ".join(f"tok{i}" for i in range(300))
+        assert eng.processor.count_tokens(long_prompt, []) > 256  # class 512
+        r = _mk(long_prompt, (), 5)
+        eng.submit(r)
+        deadline = time.time() + 120
+        while r.finished_s is None and r.error is None:
+            assert time.time() < deadline, "request did not finish"
+            time.sleep(0.01)
+    assert r.error is None and len(r.output_tokens) == 5
+
+
 def test_processor_pad_tokens_to(engine_setup):
     cfg, params, proc = engine_setup
     batch = proc(["short prompt"], [], pad_tokens_to=256)
