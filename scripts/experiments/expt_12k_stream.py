@@ -156,24 +156,28 @@ def main():
           f"{n_out} tokens in {wall:.1f}s -> TPOT {tpot * 1e3:.1f} ms "
           f"({1.0 / tpot:.1f} tok/s single-stream)", flush=True)
 
-    # Pass 3: concurrency at 12k — a second (shorter) request admits while
-    # the long one decodes (mixed path; block-ineligible at this length).
-    r3, n3 = long_req(out_budget)
-    short_series = [rng.normal(0, 3, 64 if tiny else 1024).cumsum()
-                    for _ in range(2)]
-    holes = " ".join(encoding.TS_PAIR for _ in short_series)
-    r4 = Request(f"user: quick check of {holes} please.", short_series,
-                 SamplingParams(max_tokens=out_budget, temperature=0.2))
-    t0 = time.perf_counter()
-    engine.submit(r3)
-    while not r3.output_tokens and r3.error is None:
-        time.sleep(0.01)  # long request is decoding...
-    engine.submit(r4)     # ...now admit a short one beside it
-    ok = drain([r3, r4], 1200)
-    print(f"CONCURRENT: long({n3} tok) + short admitted mid-decode in "
-          f"{time.perf_counter() - t0:.1f}s ok={ok}; "
-          f"short TTFT {r4.ttft_s * 1e3:.0f} ms "
-          f"errs=({r3.error}, {r4.error})", flush=True)
+    # Pass 3 (x2): concurrency at 12k — a second (shorter) request admits
+    # while the long one decodes (mixed path; block-ineligible at this
+    # length).  Run twice: the first short admission compiles the
+    # scan-sliced mixed executable at this cap (~35 s one-time); the
+    # second iteration's short TTFT is the warm record.
+    for label in ("cold", "warm"):
+        r3, n3 = long_req(out_budget)
+        short_series = [rng.normal(0, 3, 64 if tiny else 1024).cumsum()
+                        for _ in range(2)]
+        holes = " ".join(encoding.TS_PAIR for _ in short_series)
+        r4 = Request(f"user: quick check of {holes} please.", short_series,
+                     SamplingParams(max_tokens=out_budget, temperature=0.2))
+        t0 = time.perf_counter()
+        engine.submit(r3)
+        while not r3.output_tokens and r3.error is None:
+            time.sleep(0.01)  # long request is decoding...
+        engine.submit(r4)     # ...now admit a short one beside it
+        ok = drain([r3, r4], 1200)
+        print(f"CONCURRENT[{label}]: long({n3} tok) + short admitted "
+              f"mid-decode in {time.perf_counter() - t0:.1f}s ok={ok}; "
+              f"short TTFT {r4.ttft_s * 1e3:.0f} ms "
+              f"errs=({r3.error}, {r4.error})", flush=True)
     engine.stop()
 
 
