@@ -181,9 +181,17 @@ def phase_saturation(engine, mkreq, window_s, tiny):
         # most of the ladder; the persistent compile cache makes rerun
         # ramps short).
         ramp0 = time.time()
+        last_tok, last_t = engine.streamed_tokens, time.time()
         while time.time() - ramp0 < 600:
             recent = engine.round_snapshot()[-5:]
             if len(recent) >= 5 and not any(r["fresh"] for r in recent):
+                break
+            if engine.streamed_tokens != last_tok:
+                last_tok, last_t = engine.streamed_tokens, time.time()
+            elif time.time() - last_t > 90:
+                print("ramp: no streaming progress for 90 s — engine is "
+                      "sick (OOM?), not compiling; aborting the hold",
+                      flush=True)
                 break
             time.sleep(2)
         print(f"ramp extension: {time.time() - ramp0:.1f}s", flush=True)
