@@ -423,6 +423,19 @@ def bench_14b():
         gate = time.time() + min(240, max(30.0, rem() - 45))
         while engine.streamed_tokens < base0 + 500 and time.time() < gate:
             time.sleep(0.5)
+        # ...then hold until the compile storm flushes: the loadgen's
+        # family/coalescing pattern reaches block keys the gated warmup
+        # ladder missed (r4 forensics: 11 of 15 ramp block rounds were
+        # fresh 20-40 s compiles; the non-fresh rounds were a healthy
+        # 0.6-1.1 s — the r3 '74 tok/s, 33 s TTFT' 14B saturation was a
+        # compile storm, not chip degradation).  Window opens only after
+        # 5 consecutive non-fresh rounds (budget-capped).
+        hold = time.time() + min(600, max(0.0, rem() - 45))
+        while time.time() < hold:
+            recent = engine.round_snapshot()[-5:]
+            if len(recent) >= 5 and not any(r["fresh"] for r in recent):
+                break
+            time.sleep(2)
         log(f"[14B] saturated ramp: +{engine.streamed_tokens - base0} "
             f"tokens, stats={engine.stats()}")
         engine.round_log.clear()
