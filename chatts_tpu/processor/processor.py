@@ -110,6 +110,7 @@ class ChatTSProcessor:
         encoding_method: str = "sp",
         pad_token_id: Optional[int] = None,
         series_count_floor: int = 1,
+        series_len_floor: int = 0,
     ):
         self.tokenizer = tokenizer
         self.config = config
@@ -119,6 +120,12 @@ class ChatTSProcessor:
         # padded encoder rows are masked out and cost almost nothing, while
         # a fresh series bucket costs a multi-second jit compile mid-traffic.
         self.series_count_floor = max(1, int(series_count_floor))
+        # Minimum series-length bucket, same motivation: open traffic with
+        # mixed series lengths (the reference eval mix is 64-1024 points)
+        # otherwise keys a fresh admission-embed compile per (count, len)
+        # bucket combination; flooring the length collapses that axis.
+        # Padded points are masked in the encoder (the sp valid channel).
+        self.series_len_floor = max(0, int(series_len_floor))
         if pad_token_id is None:
             pad_token_id = getattr(tokenizer, "pad_token_id", None)
             if pad_token_id is None:
@@ -251,7 +258,7 @@ class ChatTSProcessor:
         )
         max_len = max((len(ts) for ts in all_series), default=cfg.ts.patch_size)
         l_pad = (
-            bucket_series_len(max_len)
+            max(bucket_series_len(max_len), self.series_len_floor)
             if pad_to_bucket
             else -(-max_len // cfg.ts.patch_size) * cfg.ts.patch_size
         )

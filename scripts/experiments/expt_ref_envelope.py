@@ -291,7 +291,15 @@ def main():
     params = jax.block_until_ready(params)
     print(f"init: {time.perf_counter() - t0:.1f}s", flush=True)
 
-    proc = ChatTSProcessor(_Tok(cfg.llm.vocab_size), cfg)
+    # Canonical TS buckets: the reference mix (1-30 series of 64-1024
+    # points) otherwise keys a fresh admission-embed compile per
+    # (series-count, series-len) bucket combo — measured pass 3: ~30 s of
+    # admit_s per 60 s window was embed compiles arriving all window long.
+    # Flooring count (8-row wave x 30 series -> 256) and length (1024)
+    # collapses the embed key space to one shape per (family, class).
+    proc = ChatTSProcessor(_Tok(cfg.llm.vocab_size), cfg,
+                           series_count_floor=8 if tiny else 256,
+                           series_len_floor=32 if tiny else 1024)
     cap = 512 if tiny else 6144
     max_tokens = 32 if tiny else 512
     engine = ServeEngine(

@@ -107,3 +107,22 @@ def test_token_bucket_padding(proc):
     ln = batch.seq_lens[0]
     assert np.all(batch.attention_mask[0, :ln] == 1)
     assert np.all(batch.attention_mask[0, ln:] == 0)
+
+
+def test_series_len_floor_canonicalizes_shape():
+    """series_len_floor pins the padded series-length bucket (one compiled
+    admission-embed shape for open traffic); token expansion still uses the
+    TRUE series length, and padded points stay masked."""
+    cfg = tiny_config(ts_token_start_index=500, patch_size=4,
+                      max_sequence_length=128)
+    base = ChatTSProcessor(FakeTokenizer(), cfg)
+    floored = ChatTSProcessor(FakeTokenizer(), cfg, series_len_floor=128)
+    ts = np.arange(8.0)
+    b0 = base(["x <ts><ts/>"], [ts])
+    b1 = floored(["x <ts><ts/>"], [ts])
+    assert b1.ts_values.shape[1] == 128
+    assert b1.ts_values.shape[1] > b0.ts_values.shape[1]
+    # identical token stream and mask semantics
+    np.testing.assert_array_equal(b0.input_ids, b1.input_ids)
+    assert b1.ts_mask[0, 8:].sum() == 0
+    np.testing.assert_allclose(b1.ts_values[0, :8], b0.ts_values[0, :8])
