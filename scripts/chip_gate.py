@@ -1,0 +1,94 @@
+"""Gate a big real-chip run: health probe + HBM canary, in THIS process.
+
+Two failure modes the tunnel exhibits between back-to-back big runs
+(CLAUDE.md "Environment gotchas"):
+  1. DEGRADED/WEDGED chip — a jit'd 50-matmul loop takes >2 s (or hangs).
+  2. STALE HBM — the tunnel retains a dead client's buffers for minutes
+     after a clean exit; the next big engine passes init and then hits
+     RESOURCE_EXHAUSTED on every executable.  The canary allocates
+     GATE_GB (default 13) in 1 GiB chunks and fetches one element of
+     each — allocation alone is lazy and does NOT prove the memory is
+     usable.
+
+Run it as a SUBPROCESS gate before each big run (exit 0 = go):
+
+    timeout 1200 python scripts/chip_gate.py && python bench.py ...
+
+Env: GATE_GB (default 13), GATE_WAIT_S total wait budget (default 900),
+GATE_PROBE_S healthy-loop threshold (default 2.0).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def probe_once(threshold_s: float) -> bool:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    @jax.jit
+    def loop(x):
+        for _ in range(50):
+            x = x @ x * 0.001
+        return x
+
+    x = jnp.ones((512, 512), jnp.bfloat16)
+    loop(x).block_until_ready()  # compile outside the timed window
+    t0 = time.perf_counter()
+    float(np.asarray(loop(x)[0, 0]))
+    dt = time.perf_counter() - t0
+    print(f"probe: 50-matmul loop {dt * 1e3:.0f} ms", flush=True)
+    return dt < threshold_s
+
+
+def canary_once(gb: int) -> bool:
+    """Allocate `gb` GiB in 1 GiB chunks and touch each; free on return."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    chunk = (1024, 1024, 512)  # 1 GiB of bf16
+    bufs = []
+    try:
+        for i in range(gb):
+            b = jnp.full(chunk, float(i), jnp.bfloat16)
+            float(np.asarray(b[0, 0, 0]))  # force materialization
+            bufs.append(b)
+        print(f"canary: {gb} GiB allocated+touched", flush=True)
+        return True
+    except Exception as e:  # RESOURCE_EXHAUSTED or tunnel error
+        print(f"canary: failed at {len(bufs)} GiB: {type(e).__name__}: "
+              f"{str(e)[:160]}", flush=True)
+        return False
+    finally:
+        del bufs
+
+
+def main() -> int:
+    gb = int(os.environ.get("GATE_GB", "13"))
+    wait_s = float(os.environ.get("GATE_WAIT_S", "900"))
+    thr = float(os.environ.get("GATE_PROBE_S", "2.0"))
+    deadline = time.time() + wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            ok = probe_once(thr) and canary_once(gb)
+        except Exception as e:
+            print(f"gate attempt {attempt}: {type(e).__name__}: "
+                  f"{str(e)[:160]}", flush=True)
+            ok = False
+        if ok:
+            print("gate: GO", flush=True)
+            return 0
+        if time.time() > deadline:
+            print("gate: NO-GO (budget exhausted)", flush=True)
+            return 1
+        time.sleep(45)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
