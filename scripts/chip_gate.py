@@ -15,9 +15,12 @@ Run it as a SUBPROCESS gate before each big run (exit 0 = go):
     timeout 1200 python scripts/chip_gate.py && python bench.py ...
 
 Env: GATE_GB (default 13), GATE_WAIT_S total wait budget (default 900),
-GATE_PROBE_S healthy-loop threshold (default 2.0).
+GATE_PROBE_S healthy-loop threshold (default 2.0), GATE_ATTEMPT_S
+per-attempt subprocess timeout (default 300 — a WEDGED chip hangs the
+probe's block_until_ready forever; only a subprocess boundary recovers).
 """
 import os
+import subprocess
 import sys
 import time
 
@@ -67,28 +70,49 @@ def canary_once(gb: int) -> bool:
         del bufs
 
 
-def main() -> int:
+def attempt() -> int:
+    """One probe+canary pass in THIS process (called with --once)."""
+    from chatts_tpu.utils import compile_cache
+
+    if os.environ.get("GATE_CPU") == "1":  # smoke-test the gate off-chip
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    compile_cache.enable()
     gb = int(os.environ.get("GATE_GB", "13"))
-    wait_s = float(os.environ.get("GATE_WAIT_S", "900"))
     thr = float(os.environ.get("GATE_PROBE_S", "2.0"))
+    try:
+        ok = probe_once(thr) and canary_once(gb)
+    except Exception as e:
+        print(f"gate attempt: {type(e).__name__}: {str(e)[:160]}", flush=True)
+        ok = False
+    return 0 if ok else 1
+
+
+def main() -> int:
+    wait_s = float(os.environ.get("GATE_WAIT_S", "900"))
+    attempt_s = float(os.environ.get("GATE_ATTEMPT_S", "300"))
     deadline = time.time() + wait_s
-    attempt = 0
+    n = 0
     while True:
-        attempt += 1
+        n += 1
+        t0 = time.time()
         try:
-            ok = probe_once(thr) and canary_once(gb)
-        except Exception as e:
-            print(f"gate attempt {attempt}: {type(e).__name__}: "
-                  f"{str(e)[:160]}", flush=True)
-            ok = False
-        if ok:
+            rc = subprocess.call(
+                [sys.executable, os.path.abspath(__file__), "--once"],
+                timeout=attempt_s)
+        except subprocess.TimeoutExpired:
+            print(f"gate attempt {n}: HUNG past {attempt_s:.0f}s "
+                  "(wedged chip?) — child killed", flush=True)
+            rc = 1
+        if rc == 0:
             print("gate: GO", flush=True)
             return 0
         if time.time() > deadline:
             print("gate: NO-GO (budget exhausted)", flush=True)
             return 1
-        time.sleep(45)
+        time.sleep(max(5.0, 45.0 - (time.time() - t0)))
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(attempt() if "--once" in sys.argv else main())
