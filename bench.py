@@ -4,57 +4,59 @@ Headline configuration (the north star's serving shape, VERDICT r1 item 2):
 Qwen2.5-7B-class backbone (hidden 3584, 28 layers, 28 heads / 4 KV heads,
 intermediate 18944, vocab 152064) + 5-layer TS encoder — random weights in
 the int4 serving layout (nibble-packed, group-128 scales, Pallas
-native-ingest matmul), bf16 KV cache (faster than int8 KV at this
-shape/capacity; int8 KV is the cap-6144 capacity play), ServeEngine at
-concurrency 32 with the fused mixed prefill+decode step (admissions never
-stall decode).
+native-ingest matmul), bf16 KV cache, ServeEngine at concurrency 32 with the
+fused mixed prefill+decode step (admissions never stall decode).
 
-Measured phases (requests: two sp-encoded series of 256+512 points,
+Architecture (VERDICT r4 item 1 — rounds 3 and 4 delivered no certified
+number): an ORCHESTRATOR process that never touches the device spawns the
+measurement as WORKER subprocesses.  Workers stream ``MILESTONE {json}``
+lines after every phase; the orchestrator keeps the latest one, so a worker
+that wedges mid-phase still contributes everything it measured.  A worker
+that produces no milestone in time (init >~3x nominal == degradation,
+CLAUDE.md) is killed and retried ONCE in a fresh process after re-gating the
+chip.  The orchestrator always prints a parseable JSON line and exits 0
+within CHATTS_BENCH_BUDGET_S.
+
+Worker phases (requests: two sp-encoded series of 256+512 points,
 ~512-token prompts, greedy):
+  lite. decode tokens/sec at c32 right after the minimal warmup — a real
+     headline number exists within minutes of a healthy start; refined by
+     phase A after the full workload-shape warmup.
   A. decode-only tokens/sec at c32 (all slots live, no admissions) — the
-     headline `value`, directly comparable to r1's 8B int8 2,230 tok/s.
-  B. p50 TTFT at admission-burst 8 on a warm engine — r1's TTFT
-     definition (a request prefills with its arrival burst).
-  B2. single-request TTFT on a warm idle engine (1-row admission bucket).
-  C. saturated closed loop (finished requests replaced immediately;
-     admissions run as early-emit block rounds: a prefill-only executable
-     streams first tokens immediately, admitted rows join the next decode
-     round — CHATTS_BENCH_EE=0 reverts to the fused admit-then-decode
-     round) — serving aggregate tok/s including ALL prefill FLOPs, the
-     under-load TTFT distribution, and the round-anatomy table (per-kind
-     round counts/durations).
-  D. (subprocess, budget permitting) ChatTS-14B shape int4 on the same
-     chip: c8/c16 decode, single/burst TTFT, short saturated window —
-     merged into the final JSON under "chatts14b".
+     headline `value`.
+  B. p50 TTFT at admission-burst 8 on a warm engine.  B2: single-request.
+  C. saturated closed loop (finished requests replaced immediately) —
+     serving aggregate tok/s including ALL prefill FLOPs, the under-load
+     TTFT distribution, and the round-anatomy table.
+  D. (14B worker, budget permitting) ChatTS-14B shape int4 on the same
+     chip: c16/c8 decode, single/burst TTFT, saturated window — merged
+     into the final JSON under "chatts14b".
 
-Budget discipline (VERDICT r3 item 1 — r3's driver run timed out with no
-JSON on stdout): the 8B phases run FIRST and their JSON line prints as soon
-as they finish, so a mid-14B kill still leaves a parseable headline on
-stdout.  The whole run fits CHATTS_BENCH_BUDGET_S (default 1500 s): the 14B
-subprocess gets only the remaining budget (hard subprocess timeout, no full
-retry) and is skipped outright — with a note in the JSON — when less than
-7 minutes remain.
+Baselines: `vs_baseline` compares phase A against round 1's measured
+8B-shape c32 decode rate (2,230 tok/s/chip, int8 weights — same shape and
+definition).  `vs_a100_est` compares against the A100-80G vLLM estimate
+derived in BASELINE.md (roofline x 0.60 vLLM efficiency at the same
+workload); `vs_a100_per_dollar` applies the ~3.33x on-demand price ratio
+($4.00/A100-hr vs $1.20/v5e-chip-hr).
 
-Degradation sentinels (VERDICT r3 item 2): a cheap in-process 50-matmul
-probe re-runs between phases; the saturated window's round anatomy separates
-first-use executable keys ("fresh" == compile suspects) from steady-state
-rounds and flags non-fresh rounds >5x the window median.  Any tripped
-sentinel sets "degraded": true in the JSON instead of silently recording
-garbage numbers.
+Degradation sentinels: the subprocess gate probe now has a SUSTAINED stage
+(~12 s of 2048^3 matmul loops, median-thresholded — catches chips that pass
+one iteration but degrade under load, VERDICT r4 item 8); probe_inproc
+re-runs between phases and aborts remaining phases while preserving the
+measured ones; the saturated window's round anatomy separates fresh
+(compile) rounds from steady-state and flags non-fresh outliers.
 
-Prints its JSON line on stdout (twice when the 14B phase runs: the early 8B
-line, then the merged final line — both parse; the final one supersedes):
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
-vs_baseline compares phase A against round 1's measured 8B-shape c32 decode
-rate (2,230 tok/s/chip, int8 weights) — same shape, same definition, so the
-ratio reflects real progress.  Details go to stderr.
+The orchestrator prints its JSON twice when the 14B phase runs: the early
+8B line, then the merged final line — both parse; the final one supersedes.
 
-CHATTS_BENCH_TINY=1 runs the same three phases on a tiny CPU model (logic
-smoke test for the bench itself; the numbers mean nothing).
+CHATTS_BENCH_TINY=1 runs the same flow on a tiny CPU model (logic smoke
+test for the bench itself; the numbers mean nothing).
 """
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import threading
 import time
@@ -63,16 +65,26 @@ import numpy as np
 
 R1_8B_C32_TOKS = 2230.0  # round-1 8B-shape c32 decode tok/s (BENCHMARKS.md)
 
+# A100-80G vLLM estimates at the matching workload — derivation in
+# BASELINE.md ("A100 vLLM estimate"): HBM roofline x 0.60 realized
+# efficiency, GPTQ-int4 weights, fp16 KV, ~700-token mean live context.
+A100_EST_8B_DECODE_C32 = 5000.0
+A100_EST_14B_DECODE_C16 = 1400.0
+A100_EST_14B_SERVING_AGG = 1000.0
+A100_V5E_PRICE_RATIO = 3.33  # $4.00/A100-hr / $1.20/v5e-chip-hr, on-demand
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
 _PROBE = (
-    # Detects BOTH failure modes of the tunneled v5e: wedged (hangs -> the
-    # subprocess timeout catches it) and degraded (flat ~139 ms/step
-    # regardless of workload -> the 50-matmul loop takes ~7 s instead of
-    # ~40 ms incl. dispatch).
+    # Detects THREE failure modes of the tunneled v5e: wedged (hangs -> the
+    # subprocess timeout catches it), degraded (flat ~139 ms/step regardless
+    # of workload -> one 50-matmul loop takes ~7 s instead of ~40 ms), and
+    # degrades-under-load (passes one loop, slows over a sustained run ->
+    # the ~12 s sustained stage's median catches it; r4's run passed a
+    # single probe and then wedged mid-bench).
     "import time, jax, jax.numpy as jnp, numpy as np\n"
     "x = jnp.ones((2048, 2048), jnp.bfloat16)\n"
     "@jax.jit\n"
@@ -86,6 +98,15 @@ _PROBE = (
     "dt = time.time() - t0\n"
     "print('probe_time', round(dt, 2))\n"
     "assert dt < 2.0, f'chip degraded: 50 matmuls took {dt:.1f}s'\n"
+    "ts = []\n"
+    "t_end = time.time() + 12.0\n"
+    "while time.time() < t_end and len(ts) < 200:\n"
+    "    t0 = time.time()\n"
+    "    v = float(np.asarray(f(x)[0, 0]))\n"
+    "    ts.append(time.time() - t0)\n"
+    "med = float(np.median(ts))\n"
+    "print('probe_sustained', len(ts), round(med, 3), round(max(ts), 2))\n"
+    "assert med < 2.0, f'chip degraded under load: median {med:.1f}s'\n"
     "print('probe_ok')\n"
 )
 
@@ -94,11 +115,10 @@ def wait_for_healthy_chip(max_wait_s: float = 1200.0) -> bool:
     """The v5e behind the axon tunnel intermittently wedges (simple matmuls
     hang; recovers in ~20-30 min).  Probe it in a SUBPROCESS with a timeout
     before initializing our own client, so a wedged chip delays the bench
-    instead of hanging it or recording garbage numbers.  Returns False when
-    the wait expired without ever seeing a healthy probe (the caller tags
-    the result "degraded" instead of presenting the numbers as healthy)."""
-    import subprocess
-
+    instead of hanging it or recording garbage numbers.  The probe includes
+    a ~12 s sustained stage (see _PROBE).  Returns False when the wait
+    expired without ever seeing a healthy probe (the caller tags the result
+    "degraded" instead of presenting the numbers as healthy)."""
     deadline = time.time() + max_wait_s
     attempt = 0
     while True:
@@ -110,7 +130,7 @@ def wait_for_healthy_chip(max_wait_s: float = 1200.0) -> bool:
             )
             if r.returncode == 0 and "probe_ok" in r.stdout:
                 log(f"chip healthy (probe attempt {attempt}): "
-                    f"{r.stdout.strip().splitlines()[-1]}")
+                    f"{r.stdout.strip().splitlines()[-2]}")
                 return True
             log(f"chip probe attempt {attempt} failed rc={r.returncode}")
         except subprocess.TimeoutExpired:
@@ -125,10 +145,10 @@ _inproc_probe_fn = None
 
 
 def probe_inproc(tag: str) -> float:
-    """Cheap mid-run degradation sentinel (VERDICT r3 item 2): time the same
-    jit'd 50-matmul loop the subprocess probe uses, in THIS process, between
-    bench phases.  Healthy chip ~40 ms incl. dispatch; degraded chip (flat
-    ~139 ms/step) ~7 s.  Returns elapsed seconds; caller thresholds at 2 s."""
+    """Cheap mid-run degradation sentinel: time the same jit'd 50-matmul
+    loop the subprocess probe uses, in THIS process, between bench phases.
+    Healthy chip ~40 ms incl. dispatch; degraded chip (flat ~139 ms/step)
+    ~7 s.  Returns elapsed seconds; caller thresholds at 2 s."""
     import jax
     import jax.numpy as jnp
 
@@ -152,46 +172,23 @@ def probe_inproc(tag: str) -> float:
     return dt
 
 
-def bench_14b():
-    """ChatTS-14B shape on ONE chip (VERDICT r2 item 3): hidden 5120, 48L,
-    40H/8KV, vocab 152k, int4 (~8 GB weights) — the flagship the reference
-    ships (README.md:260-263).  Runs in its own process (invoked by main()
-    as a subprocess) so its buffers free fully after the 8B phases; prints
-    one JSON line consumed by main().
+# ---------------------------------------------------------------------------
+# Worker side: model setup + phases.  Each phase ends with _emit(res) so the
+# orchestrator always holds everything measured so far.
+# ---------------------------------------------------------------------------
 
-    Budget-aware (VERDICT r3 item 1): CHATTS_BENCH_14B_BUDGET_S caps the
-    whole function; each phase is skipped — recorded in out["skipped"] —
-    when the remaining budget can't fit it, and the JSON line prints no
-    matter which phases ran."""
-    import os
 
-    import jax
-    import jax.numpy as jnp
+def _emit(res: dict) -> None:
+    print("MILESTONE " + json.dumps(res), flush=True)
 
-    from chatts_tpu.utils import compile_cache
 
-    tiny = os.environ.get("CHATTS_BENCH_TINY") == "1"  # CPU flow smoke
-    t_start = time.time()
-    budget_s = float(os.environ.get("CHATTS_BENCH_14B_BUDGET_S", "900"))
-    deadline_14b = t_start + budget_s
-
-    def rem() -> float:
-        return deadline_14b - time.time()
-
-    if tiny:
-        # Platform BEFORE enable(): the cache dir is keyed by platform.
-        jax.config.update("jax_platforms", "cpu")
-    compile_cache.enable()
-
+def _make_cfg(tiny: bool, flagship_14b: bool):
     from chatts_tpu.core.config import (
         ChatTSConfig,
         QwenConfig,
         TSEncoderConfig,
     )
-    from chatts_tpu.models import quantize
-    from chatts_tpu.processor.processor import ChatTSProcessor
-    from chatts_tpu.serve.scheduler import Request, SamplingParams, ServeEngine
-    log(f"[14B] devices: {jax.devices()}")
+
     vocab = 152064 if not tiny else 512
     if tiny:
         cfg = ChatTSConfig(
@@ -205,8 +202,8 @@ def bench_14b():
                                max_sequence_length=4096),
             ts_token_start_index=vocab - 10,
         )
-    else:
-        cfg = ChatTSConfig(
+    elif flagship_14b:
+        cfg = ChatTSConfig(  # ChatTS-14B shape (reference README.md:260-263)
             llm=QwenConfig(
                 vocab_size=vocab, hidden_size=5120, intermediate_size=13824,
                 num_hidden_layers=48, num_attention_heads=40,
@@ -217,30 +214,550 @@ def bench_14b():
                                max_sequence_length=4096),
             ts_token_start_index=vocab - 10,
         )
+    else:
+        cfg = ChatTSConfig(  # Qwen2.5-7B-class 8B shape
+            llm=QwenConfig(
+                vocab_size=vocab, hidden_size=3584, intermediate_size=18944,
+                num_hidden_layers=28, num_attention_heads=28,
+                num_key_value_heads=4, head_dim=128, rope_theta=1e6,
+                attention_bias=True, dtype="bfloat16",
+            ),
+            ts=TSEncoderConfig(patch_size=16, num_layers=5, hidden_size=3584,
+                               max_sequence_length=4096),
+            ts_token_start_index=vocab - 10,
+        )
+    return cfg, vocab
 
+
+def _make_tokenizer(vocab: int):
     class _Tok:
         pad_token_id = 0
         eos_token_id = 1
 
         def encode(self, text, add_special_tokens=False):
+            # Stable across processes (str.__hash__ is randomized per
+            # process; stable ids keep bench runs comparable).
             return [10 + (sum(w.encode()) * 31 + len(w)) % (vocab - 100)
                     for w in text.split()]
 
-    t0 = time.perf_counter()
+    return _Tok()
+
+
+def _init_params(cfg, tiny: bool, bits: int = 4):
+    import jax
+    import jax.numpy as jnp
+
+    from chatts_tpu.models import quantize
+
     if tiny:
+        # CPU XLA rejects bf16 dots; build f32 params and quantize.
         from chatts_tpu.models import chatts
 
         params = quantize.quantize_params(
             chatts.init_params(cfg, jax.random.PRNGKey(0),
-                               dtype=jnp.float32), bits=4)
+                               dtype=jnp.float32), bits=bits)
     else:
         params = quantize.init_quantized_params(cfg, jax.random.PRNGKey(0),
-                                                fused=True, bits=4)
-    params = jax.block_until_ready(params)
-    log(f"[14B] init int4 params: {time.perf_counter() - t0:.1f}s, "
-        f"{quantize.param_bytes(params) / 1e9:.2f} GB on chip")
+                                                fused=True, bits=bits)
+    return jax.block_until_ready(params)
 
-    proc = ChatTSProcessor(_Tok(), cfg)
+
+def _request_factory(rng, vocab_prompt: str):
+    from chatts_tpu.serve.scheduler import Request, SamplingParams
+
+    def mkreq(budget=None):
+        series = [rng.normal(0, 50, 256).cumsum(),
+                  rng.normal(0, 5, 512).cumsum()]
+        # Staggered budgets (mean 128): identical budgets would finish the
+        # whole cohort in synchronized waves, leaving slots idle while the
+        # 8-row admission buckets refill serially.
+        n = budget if budget is not None else int(rng.integers(80, 177))
+        return Request(vocab_prompt, series,
+                       SamplingParams(max_tokens=n, temperature=0.0))
+
+    return mkreq
+
+
+def _bench_prompt() -> str:
+    filler = " ".join(f"word{i}" for i in range(400))
+    return (
+        f"system: you are a helpful assistant. user: here are two metrics "
+        f"<ts><ts/> and <ts><ts/>. {filler} analyze their local changes."
+    )
+
+
+def _drain(engine, timeout_s=120.0):
+    deadline = time.time() + timeout_s
+    while engine.stats()["active_slots"] > 0 or not engine.waiting.empty():
+        if time.time() > deadline:
+            log("drain timed out")
+            return
+        time.sleep(0.05)
+
+
+def _measure_decode(engine, mkreq, concurrency: int, pdl, window_s: float,
+                    tiny: bool) -> float:
+    """Fill every slot, measure pure decode tok/s while ALL slots stay live
+    (stop at first completion), cancel + drain."""
+    deco = []
+    for _ in range(concurrency):
+        r = mkreq(350)  # fits prompt+budget under cap 1024
+        engine.submit(r)
+        deco.append(r)
+    deadline = pdl(300)
+    while not all(r.output_tokens or r.error for r in deco):
+        if time.time() > deadline:
+            break
+        time.sleep(0.02)
+    # total_output_tokens only updates at request completion, so count the
+    # streamed per-request token lists directly.
+    base_tokens = sum(len(r.output_tokens) for r in deco)
+    a0 = time.perf_counter()
+    while (not any(r.finished_s is not None for r in deco)
+           and time.perf_counter() - a0 < (8.0 if tiny else window_s)):
+        time.sleep(0.05)
+    tps = (sum(len(r.output_tokens) for r in deco) - base_tokens) / (
+        time.perf_counter() - a0)
+    for r in deco:
+        r.cancel()
+    _drain(engine)
+    return tps
+
+
+def worker_8b():
+    """All 8B phases; emits a MILESTONE after each so a mid-phase wedge
+    still leaves everything measured so far with the orchestrator."""
+    tiny = os.environ.get("CHATTS_BENCH_TINY") == "1"
+    t_start = time.time()
+    budget_s = float(os.environ.get("CHATTS_BENCH_WORKER_BUDGET_S", "1200"))
+    deadline_w = t_start + budget_s
+
+    def rem() -> float:
+        return deadline_w - time.time()
+
+    def pdl(s: float = 300.0) -> float:
+        return min(time.time() + s, deadline_w - 30.0)
+
+    import jax
+
+    from chatts_tpu.utils import compile_cache
+
+    if tiny:
+        # Platform BEFORE enable(): the cache dir is keyed by platform.
+        jax.config.update("jax_platforms", "cpu")
+    cache_dir = compile_cache.enable()
+    log(f"persistent compile cache: {cache_dir}")
+
+    import jax.numpy as jnp
+
+    from chatts_tpu.processor.processor import ChatTSProcessor
+    from chatts_tpu.serve.scheduler import ServeEngine
+
+    log(f"devices: {jax.devices()}")
+    cfg, vocab = _make_cfg(tiny, flagship_14b=False)
+
+    degraded_flags: list = []
+    res: dict = {
+        "metric": "decode_tokens_per_sec_per_chip_chatts8b_int4_c32",
+        "value": 0.0,
+        "unit": "tokens/s/chip",
+        "vs_baseline": 0.0,
+        "degraded": False,
+        "phases_done": [],
+    }
+
+    def set_value(tps: float) -> None:
+        res["value"] = round(tps, 1)
+        res["vs_baseline"] = round(tps / R1_8B_C32_TOKS, 3)
+        res["vs_a100_est"] = round(tps / A100_EST_8B_DECODE_C32, 3)
+        res["vs_a100_per_dollar"] = round(
+            tps / A100_EST_8B_DECODE_C32 * A100_V5E_PRICE_RATIO, 2)
+
+    def checkpoint(phase: str) -> None:
+        res["phases_done"].append(phase)
+        res["degraded"] = bool(degraded_flags)
+        if degraded_flags:
+            res["degraded_why"] = list(degraded_flags)
+        _emit(res)
+
+    def probe_gate(tag: str) -> bool:
+        """Mid-run degradation abort (VERDICT r4 item 8): True = continue,
+        False = stop phases, keep everything measured so far."""
+        if tiny:
+            return True
+        if probe_inproc(tag) > 2.0:
+            degraded_flags.append(f"{tag} probe degraded — later phases "
+                                  "aborted, earlier numbers kept")
+            return False
+        return True
+
+    t0 = time.perf_counter()
+    params = _init_params(cfg, tiny)
+    init_s = time.perf_counter() - t0
+    from chatts_tpu.models import quantize
+
+    log(f"init 8B int4 params: {init_s:.1f}s, "
+        f"{quantize.param_bytes(params) / 1e9:.2f} GB on chip")
+    res["init_s"] = round(init_s, 1)
+    if not tiny and init_s > 150.0:  # ~3x the 45 s nominal (CLAUDE.md)
+        degraded_flags.append(f"slow init ({init_s:.0f}s — degraded chip?)")
+    checkpoint("init")
+
+    proc = ChatTSProcessor(_make_tokenizer(vocab), cfg)
+    # CHATTS_BENCH_C: serving concurrency A/B knob (c48 fits: 5 GB int4
+    # weights + 48 x 58.7 MB bf16 KV at cap 1024 = 2.8 GB on the 16 GB
+    # chip).  Churn scales with slots, so the admission bucket widens past
+    # 8 rows/round at c>32 (the {10, 12} block-family rungs engage).
+    concurrency = int(os.environ.get("CHATTS_BENCH_C", "32"))
+    bucket = int(os.environ.get("CHATTS_BENCH_BUCKET",
+                                "8" if concurrency <= 32 else "12"))
+    # CHATTS_BENCH_CAP: context capacity.  1024 is the bench workload's
+    # fit; 6144 is the reference serving envelope (start_vllm_server.sh:6,
+    # max_model_len 6000) — at cap 6144 int8 KV is mandatory at c32
+    # (bf16 KV = 11.3 GB beside 5.05 GB weights; int8 = 5.6 GB).
+    cap = int(os.environ.get("CHATTS_BENCH_CAP", "1024"))
+    kv_dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8}[
+        os.environ.get("CHATTS_BENCH_KV", "bf16" if cap <= 2048 else "int8")]
+    engine = ServeEngine(
+        params, cfg, proc,
+        max_batch_size=concurrency,
+        admission_bucket=bucket,
+        max_model_len=cap,
+        # bf16 KV default at cap 1024: measured faster than int8 KV at the
+        # 8B shape (13.1 vs 13.9 ms TPOT at b32 — in-dot dequant doesn't
+        # fuse into the dense attention read here).  int8 KV is the
+        # capacity play and the default past cap 2048.
+        cache_dtype=kv_dtype,
+        # chunk 32 amortizes the tunnel dispatch + host gap (measured
+        # 13.67 vs 14.67 ms/tok raw at b32).
+        decode_chunk=int(os.environ.get("CHATTS_BENCH_CHUNK", "32")),
+        fuse=False,
+        # int8-activation prompt matmuls (v5e MXU int8 = 2x bf16 TOPS).
+        prefill_act_int8=os.environ.get("CHATTS_BENCH_A8", "0") == "1",
+        # Early first-token emission: measured (r4 grid, 32x8ee) 1,280 tok/s
+        # at TTFT p50 408 ms vs the fused round's 1,233-1,311 at 731-753 ms
+        # — strictly better latency at equal-or-better throughput.
+        block_early_emit=os.environ.get("CHATTS_BENCH_EE", "1") == "1",
+    )
+    rng = np.random.default_rng(0)
+    mkreq = _request_factory(rng, _bench_prompt())
+
+    # Minimal warmup: the standard 512 bucket only — enough to admit the
+    # phase-lite cohort (its own shapes compile inside the lite phase, and
+    # hit the persistent cache on a warmed host).
+    t0 = time.perf_counter()
+    engine.warmup(prefill_buckets=(512,), series_per_request=2,
+                  series_len=512)
+    res["warmup_s"] = round(time.perf_counter() - t0, 1)
+    log(f"warmup (monolithic + mixed shapes): {res['warmup_s']}s")
+    checkpoint("warmup")
+
+    # --- Phase A-lite: a REAL decode number as early as possible (VERDICT
+    # r4 item 1b) — same definition as phase A, shorter window, before the
+    # full ladder.  Phase A refines it later; this one stands if the chip
+    # dies first.
+    tps_lite = _measure_decode(engine, mkreq, concurrency, pdl,
+                               window_s=15.0, tiny=tiny)
+    res["decode_lite_tps"] = round(tps_lite, 1)
+    set_value(tps_lite)
+    log(f"phase A-lite: decode {tps_lite:.0f} tok/s at c{concurrency} "
+        f"({time.time() - t_start:.0f}s into the worker)")
+    checkpoint("a_lite")
+
+    ok = probe_gate("post-lite")
+
+    # --- Workload-shape warmup: cover every block-family rung at THIS
+    # workload's compile keys (token bucket, series buckets) so the
+    # measured phases stay compile-free. -----------------------------------
+    if ok:
+        t0 = time.perf_counter()
+        pre = [mkreq() for _ in range(concurrency)]
+        for r in pre:
+            engine.submit(r)
+        deadline = time.time() + 900 if tiny else min(
+            time.time() + 900, deadline_w - 300)
+        while not any(r.output_tokens for r in pre):
+            if time.time() > deadline:
+                break
+            time.sleep(0.05)
+        extra = []
+        rungs = sorted({f for f in (1, 2, 3, 4, 6, 8, 10, 12,
+                                    engine._a_bucket)
+                        if f <= engine._a_bucket}, reverse=True)
+        for n in rungs:
+            gate = pdl(300)
+            while (len(engine._free_slots()) < n
+                   or not engine.live_host.any()):
+                if time.time() > gate:
+                    log(f"workload warmup: family {n} gate timed out")
+                    break
+                time.sleep(0.05)
+            batch2 = [mkreq() for _ in range(n)]
+            for r in batch2:
+                engine.submit(r)
+            extra += batch2
+            while not engine.waiting.empty():  # admitted before next family
+                if time.time() > gate:
+                    break
+                time.sleep(0.05)
+        while any(r.finished_s is None and r.error is None
+                  for r in pre + extra):
+            if time.time() > deadline:
+                log("workload warmup timed out")
+                break
+            time.sleep(0.05)
+        errs = [r.error for r in pre + extra if r.error]
+        if errs:
+            log(f"workload warmup errors: {errs[:3]}")
+        res["ladder_s"] = round(time.perf_counter() - t0, 1)
+        log(f"workload-shape warmup: {res['ladder_s']}s")
+        checkpoint("ladder")
+        ok = probe_gate("post-warmup")
+
+    # --- Phase A: the headline decode number, fully warmed ----------------
+    if ok and (tiny or rem() > 90):
+        tps = _measure_decode(engine, mkreq, concurrency, pdl,
+                              window_s=30.0, tiny=tiny)
+        set_value(tps)
+        log(f"phase A: decode-only {tps:.0f} tok/s at c{concurrency}")
+        checkpoint("a")
+
+    # --- Phase B: TTFT at admission-burst 8, warm idle engine (r1's TTFT
+    # definition: a request prefills with its arrival burst) ---------------
+    if ok and (tiny or rem() > 120):
+        burst_ttfts: list = []
+        for trial in range(2 if tiny else 4):
+            reqs = [mkreq() for _ in range(8)]
+            for r in reqs:
+                engine.submit(r)
+            deadline = pdl(300)
+            while not all(r.ttft_s is not None or r.error for r in reqs):
+                if time.time() > deadline:
+                    break
+                time.sleep(0.01)
+            if trial > 0:  # first trial may pay a residual compile
+                burst_ttfts.extend(
+                    [r.ttft_s for r in reqs if r.ttft_s is not None])
+            for r in reqs:
+                r.cancel()
+            _drain(engine)
+        if burst_ttfts:
+            res["p50_ttft_ms"] = round(
+                float(np.median(burst_ttfts) * 1e3), 1)
+        log(f"phase B: burst-8 TTFT p50 {res.get('p50_ttft_ms')} ms "
+            f"({len(burst_ttfts)} samples)")
+        checkpoint("b")
+
+    # --- Phase B2: single-request TTFT on a warm idle engine --------------
+    if ok and (tiny or rem() > 90):
+        solo_ttfts: list = []
+        for trial in range(3 if tiny else 6):
+            r = mkreq()
+            engine.submit(r)
+            deadline = pdl(300)
+            while r.ttft_s is None and not r.error:
+                if time.time() > deadline:
+                    break
+                time.sleep(0.005)
+            if trial > 0 and r.ttft_s is not None:
+                solo_ttfts.append(r.ttft_s)
+            r.cancel()
+            _drain(engine)
+        if solo_ttfts:
+            res["p50_ttft_single_ms"] = round(
+                float(np.median(solo_ttfts) * 1e3), 1)
+        log(f"phase B2: single-request TTFT p50 "
+            f"{res.get('p50_ttft_single_ms')} ms ({len(solo_ttfts)} samples)")
+        checkpoint("b2")
+
+    # --- Phase C: saturated closed-loop serving (admissions never stop) ---
+    if ok and (tiny or rem() > 150):
+        _phase_c_saturated(engine, mkreq, concurrency, res, deadline_w, tiny)
+        checkpoint("c")
+        probe_gate("post-window")
+
+    res["degraded"] = bool(degraded_flags)
+    if degraded_flags:
+        res["degraded_why"] = list(degraded_flags)
+    res["baseline_note"] = (
+        "decode c32 vs r1 8B int8 2230 tok/s and vs A100-80G vLLM estimate "
+        "(BASELINE.md); ttft = burst-8 on warm engine (r1 definition); "
+        "serving_agg includes continuous admission prefill FLOPs; "
+        "chatts14b = 14B shape (5120h/48L/40H8KV) int4 on the same chip"
+    )
+    _emit(res)
+    engine.stop()
+
+
+def _phase_c_saturated(engine, mkreq, concurrency, res, deadline_w, tiny):
+    stop = threading.Event()
+    finished: list = []
+    admitted_during_window: list = []
+    lock = threading.Lock()
+    window_open = threading.Event()
+
+    def loadgen():
+        inflight = []
+        for _ in range(concurrency):
+            r = mkreq()
+            engine.submit(r)
+            inflight.append(r)
+        while not stop.is_set():
+            for i, r in enumerate(inflight):
+                if r.finished_s is not None or r.error is not None:
+                    nr = mkreq()
+                    engine.submit(nr)
+                    inflight[i] = nr
+                    with lock:
+                        finished.append(r)
+                        if window_open.is_set():
+                            admitted_during_window.append(nr)
+            time.sleep(0.002)
+
+    gen = threading.Thread(target=loadgen, daemon=True)
+    gen.start()
+    time.sleep(4 if tiny else 20)
+    if not tiny:
+        # Compile-aware ramp: hold the window until the last 5 rounds are
+        # non-fresh — a fresh executable key mid-ramp is a 30-60 s compile
+        # that would otherwise bleed into the measured window.
+        ramp0 = time.time()
+        while (time.time() - ramp0 < 120
+               and time.time() < deadline_w - 160):
+            recent = engine.round_snapshot()[-5:]
+            if len(recent) >= 5 and not any(r["fresh"] for r in recent):
+                break
+            time.sleep(2)
+    with lock:
+        finished.clear()
+    engine.round_log.clear()  # anatomy window == measurement window
+    base_tokens = engine.total_output_tokens
+    window_open.set()
+    w0 = time.perf_counter()
+    time.sleep(8.0 if tiny else 45.0)
+    elapsed = time.perf_counter() - w0
+    tokens_out = engine.total_output_tokens - base_tokens
+    round_log_snapshot = engine.round_snapshot()  # window-only anatomy
+    window_open.clear()
+    stop.set()
+    gen.join(timeout=10)
+
+    agg_tps = tokens_out / elapsed
+
+    # Round anatomy over the measurement window: where does wall time go —
+    # device rounds vs host admission prep — and what do the mixed families
+    # look like.
+    import collections
+
+    rl = round_log_snapshot
+    agg = collections.defaultdict(lambda: [0, 0.0, 0.0, 0, 0, 0])
+    fams = collections.Counter()
+    for r in rl:
+        g = agg[r["kind"]]
+        g[0] += 1
+        g[1] += r["admit_s"]
+        g[2] += r["round_s"]
+        g[3] += r["emitted"]
+        g[4] += r["live"]
+        g[5] += int(r["fresh"])
+        if r["kind"] in ("mixed", "block"):
+            fams[(r["kind"], r["a"], r["npt"])] += 1
+    for kind, (n, adm, rnd, emit, live, fresh) in sorted(agg.items()):
+        log(f"anatomy[{kind}]: n={n} admit_host={adm:.2f}s round={rnd:.2f}s "
+            f"({rnd / max(n, 1) * 1e3:.0f} ms/round) emitted={emit} "
+            f"mean_live={live / max(n, 1):.1f} fresh={fresh}")
+    log(f"anatomy families: {dict(fams)}")
+    covered = sum(g[1] + g[2] for g in agg.values())
+    log(f"anatomy: rounds cover {covered:.1f}s of {elapsed:.1f}s window "
+        f"(gap {elapsed - covered:.1f}s = loop host work outside rounds)")
+    # Outlier sentinel: a non-fresh round >5x its kind's window median means
+    # the chip slowed mid-window (fresh rounds legitimately pay a compile).
+    outliers = []
+    fresh_in_window = 0
+    by_kind: dict = collections.defaultdict(list)
+    for r in rl:
+        by_kind[r["kind"]].append(r["round_s"])
+        fresh_in_window += int(r["fresh"])
+    for r in rl:
+        med = float(np.median(by_kind[r["kind"]]))
+        if not r["fresh"] and len(by_kind[r["kind"]]) >= 4 \
+                and r["round_s"] > 5.0 * med:
+            outliers.append((r["kind"], round(r["round_s"], 2),
+                             round(med, 3)))
+    if fresh_in_window:
+        log(f"WINDOW HAD {fresh_in_window} FRESH-KEY ROUNDS (compiles in "
+            f"the measurement window — warmup coverage gap)")
+    if outliers:
+        log(f"WINDOW OUTLIERS (non-fresh rounds >5x kind median): "
+            f"{outliers[:10]}")
+        res.setdefault("degraded_why", []).append(
+            f"{len(outliers)} window outliers")
+        res["degraded"] = True
+    with lock:
+        ttfts = [r.ttft_s for r in admitted_during_window
+                 if r.ttft_s is not None]
+        n_done = len([r for r in finished if r.error is None])
+        n_err = len([r for r in finished if r.error is not None])
+    sat_p50 = float(np.median(ttfts) * 1e3) if ttfts else float("nan")
+    sat_p90 = (float(np.percentile(ttfts, 90) * 1e3) if ttfts
+               else float("nan"))
+    log(f"phase C: {tokens_out} tokens in {elapsed:.1f}s -> {agg_tps:.0f} "
+        f"tok/s serving aggregate (prefill FLOPs included); {n_done} done "
+        f"({n_err} errors); saturated TTFT p50 {sat_p50:.0f} / p90 "
+        f"{sat_p90:.0f} ms")
+    log(f"engine stats: {engine.stats()}")
+    slow_events = engine.event_snapshot()
+    if slow_events:
+        log(f"slow events (>{engine.slow_event_s:.0f}s loop phases): "
+            f"{slow_events[-20:]}")
+    res["serving_agg_tokens_per_sec"] = round(agg_tps, 1)
+    res["serving_ttft_p50_ms"] = round(sat_p50, 1)
+    res["serving_ttft_p90_ms"] = round(sat_p90, 1)
+    res["requests_completed_per_min"] = round(n_done * 60 / elapsed, 1)
+    res["window_fresh_rounds"] = fresh_in_window
+
+
+def worker_14b():
+    """ChatTS-14B shape on ONE chip: hidden 5120, 48L, 40H/8KV, vocab 152k,
+    int4 (~9.4 GB weights) — the flagship the reference ships
+    (README.md:260-263).  Runs in its own process so its buffers free fully
+    after the 8B phases; emits MILESTONE lines the orchestrator merges."""
+    import jax
+    import jax.numpy as jnp
+
+    from chatts_tpu.utils import compile_cache
+
+    tiny = os.environ.get("CHATTS_BENCH_TINY") == "1"  # CPU flow smoke
+    t_start = time.time()
+    budget_s = float(os.environ.get("CHATTS_BENCH_WORKER_BUDGET_S", "900"))
+    deadline_14b = t_start + budget_s
+
+    def rem() -> float:
+        return deadline_14b - time.time()
+
+    if tiny:
+        # Platform BEFORE enable(): the cache dir is keyed by platform.
+        jax.config.update("jax_platforms", "cpu")
+    compile_cache.enable()
+
+    from chatts_tpu.processor.processor import ChatTSProcessor
+    from chatts_tpu.serve.scheduler import ServeEngine
+
+    log(f"[14B] devices: {jax.devices()}")
+    cfg, vocab = _make_cfg(tiny, flagship_14b=True)
+
+    out: dict = {"skipped": []}
+
+    t0 = time.perf_counter()
+    params = _init_params(cfg, tiny)
+    from chatts_tpu.models import quantize
+
+    out["init_s"] = round(time.perf_counter() - t0, 1)
+    log(f"[14B] init int4 params: {out['init_s']}s, "
+        f"{quantize.param_bytes(params) / 1e9:.2f} GB on chip")
+    _emit(out)
+
+    proc = ChatTSProcessor(_make_tokenizer(vocab), cfg)
     # c16 default; int8 KV at cap 1024 costs ~101 MB/slot (48L x 2 x 8KVH x
     # 128D), so c24 (2.4 GB) still fits beside the 9.4 GB int4 weights —
     # CHATTS_BENCH_14B_C probes that headroom.
@@ -254,25 +771,31 @@ def bench_14b():
         prefill_act_int8=os.environ.get("CHATTS_BENCH_A8", "0") == "1",
     )
     rng = np.random.default_rng(0)
-    filler = " ".join(f"word{i}" for i in range(400))
-    prompt = (
-        f"system: you are a helpful assistant. user: here are two metrics "
-        f"<ts><ts/> and <ts><ts/>. {filler} analyze their local changes."
-    )
+    mkreq = _request_factory(rng, _bench_prompt())
 
-    def mkreq(budget=None):
-        series = [rng.normal(0, 50, 256).cumsum(),
-                  rng.normal(0, 5, 512).cumsum()]
-        n = budget if budget is not None else int(rng.integers(80, 177))
-        return Request(prompt, series,
-                       SamplingParams(max_tokens=n, temperature=0.0))
-
-    out: dict = {"skipped": []}
     t0 = time.perf_counter()
     engine.warmup(prefill_buckets=(512,), series_per_request=2,
                   series_len=512)
-    log(f"[14B] engine warmup: {time.perf_counter() - t0:.1f}s; "
+    out["warmup_s"] = round(time.perf_counter() - t0, 1)
+    log(f"[14B] engine warmup: {out['warmup_s']}s; "
         f"budget left {rem():.0f}s")
+    _emit(out)
+
+    def pdl14(s: float = 300.0) -> float:
+        return min(time.time() + s, deadline_14b - 30.0)
+
+    # Early c16 decode number before the expensive ladder: the certified
+    # JSON carries a 14B number even if the saturated phase never fits.
+    if tiny or rem() > 90:
+        tps = _measure_decode(engine, mkreq, concurrency, pdl14,
+                              window_s=20.0, tiny=tiny)
+        out[f"decode_tps_c{concurrency}"] = round(tps, 1)
+        if concurrency == 16:
+            out["vs_a100_est_decode_c16"] = round(
+                tps / A100_EST_14B_DECODE_C16, 3)
+        log(f"[14B] decode c{concurrency} (pre-ladder): {tps:.0f} tok/s; "
+            f"budget left {rem():.0f}s")
+        _emit(out)
 
     # Workload-shape warmup (cohort + block-family ladder) is only needed by
     # the saturated phase — skip it (and that phase) when the budget can't
@@ -312,42 +835,20 @@ def bench_14b():
             time.sleep(0.05)
         log(f"[14B] workload warmup: {time.perf_counter() - t0:.1f}s; "
             f"errors: {[r.error for r in pre + extra if r.error][:2]}")
+        _emit(out)
     else:
         out["skipped"].append("ladder")
         log(f"[14B] skipping family ladder ({rem():.0f}s left)")
 
-    def drain(timeout_s=180.0):
-        dl = time.time() + timeout_s
-        while engine.stats()["active_slots"] > 0 or not engine.waiting.empty():
-            if time.time() > dl:
-                return
-            time.sleep(0.05)
-
-    # decode tok/s at c16 and c8
-    for c in (concurrency, 8):
-        if not tiny and rem() < 120:
-            out["skipped"].append(f"decode_c{c}")
-            continue
-        deco = [mkreq(350) for _ in range(c)]
-        for r in deco:
-            engine.submit(r)
-        dl = time.time() + min(300, max(30.0, rem() - 60))
-        while not all(r.output_tokens or r.error for r in deco):
-            if time.time() > dl:
-                break
-            time.sleep(0.02)
-        base = sum(len(r.output_tokens) for r in deco)
-        a0 = time.perf_counter()
-        while (not any(r.finished_s is not None for r in deco)
-               and time.perf_counter() - a0 < 25.0):
-            time.sleep(0.05)
-        tps = (sum(len(r.output_tokens) for r in deco) - base) / (
-            time.perf_counter() - a0)
-        out[f"decode_tps_c{c}"] = round(tps, 1)
-        log(f"[14B] decode c{c}: {tps:.0f} tok/s; budget left {rem():.0f}s")
-        for r in deco:
-            r.cancel()
-        drain()
+    # decode tok/s at c8 (the c16 number was measured pre-ladder)
+    if tiny or rem() > 120:
+        tps = _measure_decode(engine, mkreq, 8, pdl14, window_s=20.0,
+                              tiny=tiny)
+        out["decode_tps_c8"] = round(tps, 1)
+        log(f"[14B] decode c8: {tps:.0f} tok/s; budget left {rem():.0f}s")
+        _emit(out)
+    else:
+        out["skipped"].append("decode_c8")
 
     # single-request and burst-8 TTFT (warm)
     if tiny or rem() > 90:
@@ -363,9 +864,10 @@ def bench_14b():
             if trial > 0 and r.ttft_s is not None:
                 solo.append(r.ttft_s)
             r.cancel()
-            drain()
+            _drain(engine, 180.0)
         out["ttft_single_ms"] = (round(float(np.median(solo) * 1e3), 1)
                                  if solo else None)
+        _emit(out)
     else:
         out["skipped"].append("ttft_single")
     if tiny or rem() > 90:
@@ -384,12 +886,13 @@ def bench_14b():
                     [r.ttft_s for r in reqs if r.ttft_s is not None])
             for r in reqs:
                 r.cancel()
-            drain()
+            _drain(engine, 180.0)
         out["ttft_burst8_p50_ms"] = (round(float(np.median(bursts) * 1e3), 1)
                                      if bursts else None)
         log(f"[14B] TTFT single {out.get('ttft_single_ms')} ms, "
             f"burst-8 p50 {out.get('ttft_burst8_p50_ms')} ms; "
             f"budget left {rem():.0f}s")
+        _emit(out)
     else:
         out["skipped"].append("ttft_burst8")
 
@@ -427,9 +930,8 @@ def bench_14b():
         # family/coalescing pattern reaches block keys the gated warmup
         # ladder missed (r4 forensics: 11 of 15 ramp block rounds were
         # fresh 20-40 s compiles; the non-fresh rounds were a healthy
-        # 0.6-1.1 s — the r3 '74 tok/s, 33 s TTFT' 14B saturation was a
-        # compile storm, not chip degradation).  Window opens only after
-        # 5 consecutive non-fresh rounds (budget-capped).
+        # 0.6-1.1 s).  Window opens only after 5 consecutive non-fresh
+        # rounds (budget-capped).
         hold = time.time() + min(600, max(0.0, rem() - 45))
         while time.time() < hold:
             recent = engine.round_snapshot()[-5:]
@@ -446,6 +948,9 @@ def bench_14b():
         stop.set()
         gen.join(timeout=10)
         out["serving_agg_tps"] = round(agg, 1)
+        out["vs_a100_est_serving"] = round(agg / A100_EST_14B_SERVING_AGG, 3)
+        out["vs_a100_serving_per_dollar"] = round(
+            agg / A100_EST_14B_SERVING_AGG * A100_V5E_PRICE_RATIO, 2)
         # Window forensics: fresh-key rounds == compiles in the window
         # (warmup coverage gap); non-fresh outliers == chip slowdown.
         window = engine.round_snapshot()
@@ -461,6 +966,7 @@ def bench_14b():
             f"errors={err_count[0]} first_err={first_err[0]}; "
             f"fresh={out['window_fresh_rounds']} "
             f"stats={engine.stats()}")
+        _emit(out)
     else:
         out["skipped"].append("saturated")
     if not tiny and probe_inproc("14B-end") > 2.0:
@@ -468,503 +974,141 @@ def bench_14b():
     engine.stop()
     if not out["skipped"]:
         del out["skipped"]
-    print(json.dumps(out), flush=True)
+    _emit(out)
 
 
-def main():
-    import os
+# ---------------------------------------------------------------------------
+# Orchestrator: no device access, cannot wedge.  Owns the budget, the gate,
+# worker deadlines, the retry, and the final JSON line.
+# ---------------------------------------------------------------------------
 
-    tiny = os.environ.get("CHATTS_BENCH_TINY") == "1"  # CPU smoke mode
-    if os.environ.get("CHATTS_BENCH_14B") == "1":
-        bench_14b()
-        return
-    # The driver's wall-clock budget is a HARD constraint (r3's run was
-    # killed at ~30 min with the headline JSON never printed).  Everything
-    # below fits inside CHATTS_BENCH_BUDGET_S: the health wait is capped,
-    # the 8B JSON prints the moment the 8B phases finish, and the 14B
-    # subprocess gets only what's left.
+
+def _run_worker(kind: str, budget_s: float, first_milestone_s: float,
+                abs_deadline: float, stall_s: float = 600.0):
+    """Spawn `python bench.py` with CHATTS_BENCH_WORKER=kind, stream its
+    MILESTONE lines, and return the last one (or None).  Kills the worker
+    when (a) no first milestone arrives in first_milestone_s (init >~3x
+    nominal == degraded chip), (b) no NEW milestone arrives for stall_s, or
+    (c) abs_deadline passes.  Worker stderr flows through to ours."""
+    env = dict(os.environ, CHATTS_BENCH_WORKER=kind,
+               CHATTS_BENCH_WORKER_BUDGET_S=str(int(budget_s)))
+    p = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        stdout=subprocess.PIPE, stderr=None, text=True,
+    )
+    last: list = [None, time.time()]  # (milestone dict, arrival time)
+
+    def reader():
+        for line in p.stdout:
+            line = line.strip()
+            if line.startswith("MILESTONE "):
+                try:
+                    last[0] = json.loads(line[len("MILESTONE "):])
+                    last[1] = time.time()
+                except json.JSONDecodeError:
+                    continue
+
+    rt = threading.Thread(target=reader, daemon=True)
+    rt.start()
+    t0 = time.time()
+    why = None
+    while p.poll() is None:
+        now = time.time()
+        if last[0] is None and now - t0 > first_milestone_s:
+            why = (f"no first milestone in {first_milestone_s:.0f}s "
+                   "(init hung or degraded)")
+            break
+        if last[0] is not None and now - last[1] > stall_s:
+            why = f"no new milestone for {stall_s:.0f}s (stalled mid-phase)"
+            break
+        if now > abs_deadline:
+            why = "budget deadline"
+            break
+        time.sleep(1.0)
+    if p.poll() is None:
+        log(f"{kind} worker killed: {why}")
+        p.kill()
+    p.wait()
+    rt.join(timeout=10)
+    if last[0] is not None and why is not None:
+        last[0]["degraded"] = True
+        last[0].setdefault("degraded_why", []).append(f"worker killed: {why}")
+    return last[0]
+
+
+def _orchestrate():
+    tiny = os.environ.get("CHATTS_BENCH_TINY") == "1"
     t_start = time.time()
     budget_s = float(os.environ.get("CHATTS_BENCH_BUDGET_S", "1500"))
     hard_deadline = t_start + budget_s
-    degraded_flags: list = []
+    gate_notes: list = []
 
-    # Last-resort watchdog (VERDICT r3 item 1): if the main thread is stuck
-    # inside a device call when the budget expires (a WEDGED chip hangs jit
-    # dispatches indefinitely — per-phase deadlines never fire), print
-    # whatever partial result exists as a parseable JSON line and exit 0.
-    # A degraded-but-parsed record beats r3's rc=124/parsed-null.
-    partial: dict = {
+    if not tiny:
+        if not wait_for_healthy_chip(max_wait_s=min(600.0, budget_s * 0.35)):
+            gate_notes.append("chip never healthy at bench start")
+
+    # --- 8B worker, one retry in a fresh process after re-gating ----------
+    best = None
+    for attempt in (1, 2):
+        remaining = hard_deadline - time.time()
+        if remaining < 240:
+            break
+        got = _run_worker(
+            "8b",
+            budget_s=remaining - 60,
+            # jax import (~30 s) + init (45 s nominal; 150 s == 3x) + margin;
+            # tiny mode on the 1-core host compiles everything from scratch.
+            first_milestone_s=900 if tiny else 360,
+            abs_deadline=hard_deadline - 45,
+        )
+        if got is not None and (best is None
+                                or got.get("value", 0) >= best.get("value", 0)
+                                or len(got.get("phases_done", []))
+                                > len(best.get("phases_done", []))):
+            best = got
+        if best is not None and best.get("value", 0) > 0 \
+                and "c" in best.get("phases_done", []):
+            break  # full success; no retry needed
+        if attempt == 1 and not tiny \
+                and hard_deadline - time.time() > 420:
+            log("8B worker incomplete — re-gating the chip and retrying "
+                "in a fresh process")
+            # Full gate (probe + 13 GB HBM canary, scripts/chip_gate.py):
+            # the tunnel can RETAIN the dead worker's buffers for minutes,
+            # so the retry must wait for HBM to actually free (CLAUDE.md).
+            gate_budget = min(300.0, hard_deadline - time.time() - 300)
+            gate_py = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "scripts", "chip_gate.py")
+            try:
+                env = dict(os.environ, GATE_WAIT_S=str(int(gate_budget)),
+                           GATE_ATTEMPT_S="150")
+                subprocess.call([sys.executable, gate_py], env=env,
+                                timeout=gate_budget + 120)
+            except (subprocess.TimeoutExpired, OSError) as e:
+                log(f"re-gate failed ({e}); retrying anyway")
+        else:
+            break
+
+    result = best or {
         "metric": "decode_tokens_per_sec_per_chip_chatts8b_int4_c32",
         "value": 0.0,
         "unit": "tokens/s/chip",
         "vs_baseline": 0.0,
         "degraded": True,
-        "degraded_why": ["watchdog: budget expired mid-phase (chip wedged?)"],
+        "degraded_why": ["no 8B milestone ever arrived (chip wedged "
+                         "through the whole budget)"],
     }
-    final_printed = threading.Event()
-    children: list = []  # 14B subprocess, killed on emergency exit
+    if gate_notes:
+        result["degraded"] = True
+        result.setdefault("degraded_why", []).extend(gate_notes)
 
-    def _watchdog():
-        wake = hard_deadline - 60.0
-        while time.time() < wake:
-            if final_printed.wait(timeout=min(30.0, max(0.5, wake - time.time()))):
-                return
-        if not final_printed.is_set():
-            partial["watchdog_elapsed_s"] = round(time.time() - t_start, 1)
-            print(json.dumps(partial), flush=True)
-            log("WATCHDOG: budget expired before the bench finished; "
-                "emergency JSON emitted, exiting 0")
-            for p in children:
-                try:
-                    p.kill()
-                except Exception:
-                    pass
-            import os as _os
-
-            _os._exit(0)
-
-    if not tiny:
-        threading.Thread(target=_watchdog, daemon=True).start()
-        if not wait_for_healthy_chip(max_wait_s=min(600.0, budget_s * 0.4)):
-            degraded_flags.append("chip never healthy at bench start")
-            partial["degraded_why"].append("chip never healthy at bench start")
-
-    def pdl(s: float = 300.0) -> float:
-        # Per-phase wait deadline, clamped so a run of timed-out phases on a
-        # wedged chip can never stack past the watchdog margin.
-        return min(time.time() + s, hard_deadline - 90.0)
-
-    import jax
-    import jax.numpy as jnp
-
-    from chatts_tpu.utils import compile_cache
-
-    if tiny:
-        # Platform BEFORE enable(): the cache dir is keyed by platform.
-        jax.config.update("jax_platforms", "cpu")
-    cache_dir = compile_cache.enable()
-    log(f"persistent compile cache: {cache_dir}")
-
-    from chatts_tpu.core.config import (
-        ChatTSConfig,
-        QwenConfig,
-        TSEncoderConfig,
-    )
-    from chatts_tpu.models import quantize
-    from chatts_tpu.processor.processor import ChatTSProcessor
-    from chatts_tpu.serve.scheduler import Request, SamplingParams, ServeEngine
-
-    log(f"devices: {jax.devices()}")
-
-    vocab = 152064 if not tiny else 512
-    if tiny:
-        cfg = ChatTSConfig(
-            llm=QwenConfig(
-                vocab_size=vocab, hidden_size=128, intermediate_size=256,
-                num_hidden_layers=2, num_attention_heads=4,
-                num_key_value_heads=2, head_dim=32, rope_theta=1e6,
-                attention_bias=True, dtype="float32",
-            ),
-            ts=TSEncoderConfig(patch_size=16, num_layers=2, hidden_size=128,
-                               max_sequence_length=4096),
-            ts_token_start_index=vocab - 10,
-        )
-    else:
-        cfg = ChatTSConfig(
-            llm=QwenConfig(
-                vocab_size=vocab, hidden_size=3584, intermediate_size=18944,
-                num_hidden_layers=28, num_attention_heads=28,
-                num_key_value_heads=4, head_dim=128, rope_theta=1e6,
-                attention_bias=True, dtype="bfloat16",
-            ),
-            ts=TSEncoderConfig(patch_size=16, num_layers=5, hidden_size=3584,
-                               max_sequence_length=4096),
-            ts_token_start_index=vocab - 10,
-        )
-
-    class _Tok:
-        pad_token_id = 0
-        eos_token_id = 1
-
-        def encode(self, text, add_special_tokens=False):
-            # Stable across processes (str.__hash__ is randomized per
-            # process; stable ids keep bench runs comparable).
-            return [10 + (sum(w.encode()) * 31 + len(w)) % (vocab - 100)
-                    for w in text.split()]
-
-    t0 = time.perf_counter()
-    if tiny:
-        # CPU XLA rejects bf16 dots; build f32 params and quantize.
-        from chatts_tpu.models import chatts
-
-        params = quantize.quantize_params(
-            chatts.init_params(cfg, jax.random.PRNGKey(0),
-                               dtype=jnp.float32), bits=4)
-    else:
-        params = quantize.init_quantized_params(cfg, jax.random.PRNGKey(0),
-                                                fused=True, bits=4)
-    params = jax.block_until_ready(params)
-    log(f"init 8B int4 params: {time.perf_counter() - t0:.1f}s, "
-        f"{quantize.param_bytes(params) / 1e9:.2f} GB on chip")
-
-    proc = ChatTSProcessor(_Tok(), cfg)
-    # CHATTS_BENCH_C: serving concurrency A/B knob (c48 fits: 5 GB int4
-    # weights + 48 x 58.7 MB bf16 KV at cap 1024 = 2.8 GB on the 16 GB
-    # chip).  Churn scales with slots, so the admission bucket widens past
-    # 8 rows/round at c>32 (the {10, 12} block-family rungs engage).
-    concurrency = int(os.environ.get("CHATTS_BENCH_C", "32"))
-    # CHATTS_BENCH_BUCKET: admission-bucket A/B knob (saturation churn at
-    # c32 averages ~8 rows/round == the default bucket, so backlog variance
-    # never clears; a wider bucket lets catch-up waves land in one round).
-    bucket = int(os.environ.get("CHATTS_BENCH_BUCKET",
-                                "8" if concurrency <= 32 else "12"))
-    engine = ServeEngine(
-        params, cfg, proc,
-        max_batch_size=concurrency,
-        admission_bucket=bucket,
-        max_model_len=1024,
-        # bf16 KV: measured faster than int8 KV at the 8B shape (13.1 vs
-        # 13.9 ms TPOT at b32 — in-dot dequant doesn't fuse into the dense
-        # attention read here), and int4 weights leave plenty of HBM for
-        # it at cap 1024.  int8 KV remains the capacity play for cap 6144.
-        cache_dtype=jnp.bfloat16,
-        # chunk 32 amortizes the tunnel dispatch + host gap (measured
-        # 13.67 vs 14.67 ms/tok raw at b32); streaming granularity and
-        # saturated TTFT give back ~0.2 s, which phase C reports honestly.
-        # With the recent-KV scan the per-step cost is low enough that a
-        # longer chunk also lifts saturated tokens/round — A/B via env.
-        decode_chunk=int(os.environ.get("CHATTS_BENCH_CHUNK", "32")),
-        fuse=False,
-        # int8-activation prompt matmuls (v5e MXU int8 = 2x bf16 TOPS).
-        prefill_act_int8=os.environ.get("CHATTS_BENCH_A8", "0") == "1",
-        # Early first-token emission: measured (r4 grid, 32x8ee) 1,280 tok/s
-        # at TTFT p50 408 ms vs the fused round's 1,233-1,311 at 731-753 ms
-        # — strictly better latency at equal-or-better throughput.
-        block_early_emit=os.environ.get("CHATTS_BENCH_EE", "1") == "1",
-    )
-
-    rng = np.random.default_rng(0)
-    filler = " ".join(f"word{i}" for i in range(400))
-    prompt = (
-        f"system: you are a helpful assistant. user: here are two metrics "
-        f"<ts><ts/> and <ts><ts/>. {filler} analyze their local changes."
-    )
-
-    def mkreq():
-        series = [rng.normal(0, 50, 256).cumsum(),
-                  rng.normal(0, 5, 512).cumsum()]
-        # Staggered budgets (mean 128): identical budgets would finish the
-        # whole cohort in synchronized waves, leaving slots idle while the
-        # 8-row admission buckets refill serially.
-        n = int(rng.integers(80, 177))
-        return Request(prompt, series,
-                       SamplingParams(max_tokens=n, temperature=0.0))
-
-    t0 = time.perf_counter()
-    engine.warmup(prefill_buckets=(512,), series_per_request=2,
-                  series_len=512)
-    log(f"warmup (monolithic + mixed shapes): {time.perf_counter() - t0:.1f}s")
-
-    # Second warmup pass with the REAL workload's requests: the bench prompt
-    # lands in a different token bucket than warmup's synthetic prompts, and
-    # the monolithic 32-row admission of that bucket would otherwise compile
-    # (30-60 s) right at the start of the measurement window.
-    t0 = time.perf_counter()
-    pre = [mkreq() for _ in range(concurrency)]
-    for r in pre:
-        engine.submit(r)
-    # Warmup must leave room for phases A-C (~250 s) inside the budget.
-    deadline = time.time() + 900 if tiny else min(
-        time.time() + 900, hard_deadline - 300)
-    # Once the cohort is decoding, admit every block-admission family at
-    # THIS workload's compile keys (token bucket, series buckets): the
-    # engine-level warmup prompts land in a different token bucket (640 vs
-    # 512 measured r3), so its compiles never get reused here.  Each burst
-    # is GATED on n free slots + live decode so the wave actually admits
-    # as the (n)-row family instead of coalescing with whatever slots
-    # happen to free up (nondeterministic coverage put 13-17 s first-use
-    # compiles inside the r3b measurement window).
-    while not any(r.output_tokens for r in pre):
-        if time.time() > deadline:
-            break
-        time.sleep(0.05)
-    extra = []
-    # Cover every block-family rung the engine can admit with (the ladder
-    # widens past 8 when admission_bucket does, e.g. the c48 config).
-    rungs = sorted({f for f in (1, 2, 3, 4, 6, 8, 10, 12, engine._a_bucket)
-                    if f <= engine._a_bucket}, reverse=True)
-    for n in rungs:
-        gate = pdl(300)
-        while (len(engine._free_slots()) < n
-               or not engine.live_host.any()):
-            if time.time() > gate:
-                log(f"workload warmup: family {n} gate timed out")
-                break
-            time.sleep(0.05)
-        batch2 = [mkreq() for _ in range(n)]
-        for r in batch2:
-            engine.submit(r)
-        extra += batch2
-        while not engine.waiting.empty():  # admitted before next family
-            if time.time() > gate:
-                break
-            time.sleep(0.05)
-    while any(r.finished_s is None and r.error is None for r in pre + extra):
-        if time.time() > deadline:
-            log("workload warmup timed out")
-            break
-        time.sleep(0.05)
-    errs = [r.error for r in pre + extra if r.error]
-    if errs:
-        log(f"workload warmup errors: {errs[:3]}")
-    log(f"workload-shape warmup: {time.perf_counter() - t0:.1f}s")
-    if not tiny and probe_inproc("post-warmup") > 2.0:
-        degraded_flags.append("post-warmup probe")
-
-    def drain(timeout_s=120.0):
-        deadline = time.time() + timeout_s
-        while engine.stats()["active_slots"] > 0 or not engine.waiting.empty():
-            if time.time() > deadline:
-                log("drain timed out")
-                return
-            time.sleep(0.05)
-
-    # --- Phase A: decode throughput at c32 (comparable to r1's 2230) ------
-    # Fill every slot, then measure pure decode rate with no admissions.
-    deco = []
-    for _ in range(concurrency):
-        r = mkreq()
-        r.params.max_tokens = 350  # fits prompt+budget under cap 1024
-        engine.submit(r)
-        deco.append(r)
-    deadline = pdl(300)
-    while not all(r.output_tokens or r.error for r in deco):
-        if time.time() > deadline:
-            break
-        time.sleep(0.02)
-    # Measure while ALL slots stay live: stop at the first completion.
-    # (total_output_tokens only updates at request completion, so count the
-    # streamed per-request token lists directly.)
-    base_tokens = sum(len(r.output_tokens) for r in deco)
-    a0 = time.perf_counter()
-    while (not any(r.finished_s is not None for r in deco)
-           and time.perf_counter() - a0 < (8.0 if tiny else 30.0)):
-        time.sleep(0.05)
-    decode_tps = (sum(len(r.output_tokens) for r in deco) - base_tokens) / (
-        time.perf_counter() - a0)
-    for r in deco:
-        r.cancel()
-    drain()
-    log(f"phase A: decode-only {decode_tps:.0f} tok/s at c{concurrency}")
-    partial.update(value=round(decode_tps, 1),
-                   vs_baseline=round(decode_tps / R1_8B_C32_TOKS, 3))
-
-    # --- Phase B: TTFT at admission-burst 8, warm idle engine (r1's TTFT
-    # definition: a request prefills with its arrival burst) ---------------
-    burst_ttfts: list = []
-    for trial in range(2 if tiny else 4):
-        reqs = [mkreq() for _ in range(8)]
-        for r in reqs:
-            engine.submit(r)
-        deadline = pdl(300)
-        while not all(r.ttft_s is not None or r.error for r in reqs):
-            if time.time() > deadline:
-                break
-            time.sleep(0.01)
-        if trial > 0:  # first trial may pay a residual compile
-            burst_ttfts.extend(
-                [r.ttft_s for r in reqs if r.ttft_s is not None])
-        for r in reqs:
-            r.cancel()
-        drain()
-    p50_ttft_ms = (float(np.median(burst_ttfts) * 1e3) if burst_ttfts
-                   else float("nan"))
-    log(f"phase B: burst-8 TTFT p50 {p50_ttft_ms:.0f} ms "
-        f"({len(burst_ttfts)} samples)")
-
-    # --- Phase B2: single-request TTFT on a warm idle engine (isolation
-    # latency: the prompt's own ~8 TFLOP of prefill, nothing else) --------
-    solo_ttfts: list = []
-    for trial in range(3 if tiny else 6):
-        r = mkreq()
-        engine.submit(r)
-        deadline = pdl(300)
-        while r.ttft_s is None and not r.error:
-            if time.time() > deadline:
-                break
-            time.sleep(0.005)
-        if trial > 0 and r.ttft_s is not None:
-            solo_ttfts.append(r.ttft_s)
-        r.cancel()
-        drain()
-    p50_solo_ms = (float(np.median(solo_ttfts) * 1e3) if solo_ttfts
-                   else float("nan"))
-    log(f"phase B2: single-request TTFT p50 {p50_solo_ms:.0f} ms "
-        f"({len(solo_ttfts)} samples)")
-
-    # --- Phase C: saturated closed-loop serving (admissions never stop) ---
-    stop = threading.Event()
-    finished: list = []
-    admitted_during_window: list = []
-    lock = threading.Lock()
-    window_open = threading.Event()
-
-    def loadgen():
-        inflight = []
-        for _ in range(concurrency):
-            r = mkreq()
-            engine.submit(r)
-            inflight.append(r)
-        while not stop.is_set():
-            for i, r in enumerate(inflight):
-                if r.finished_s is not None or r.error is not None:
-                    nr = mkreq()
-                    engine.submit(nr)
-                    inflight[i] = nr
-                    with lock:
-                        finished.append(r)
-                        if window_open.is_set():
-                            admitted_during_window.append(nr)
-            time.sleep(0.002)
-
-    gen = threading.Thread(target=loadgen, daemon=True)
-    gen.start()
-    time.sleep(4 if tiny else 20)
-    if not tiny:
-        # Compile-aware ramp: hold the window until the last 5 rounds are
-        # non-fresh — a fresh executable key mid-ramp is a 30-60 s compile
-        # that would otherwise bleed into the measured window.  Bounded by
-        # the driver budget (never past hard_deadline - 220 s).
-        ramp0 = time.time()
-        while (time.time() - ramp0 < 120
-               and time.time() < hard_deadline - 220):
-            recent = engine.round_snapshot()[-5:]
-            if len(recent) >= 5 and not any(r["fresh"] for r in recent):
-                break
-            time.sleep(2)
-    with lock:
-        finished.clear()
-    engine.round_log.clear()  # anatomy window == measurement window
-    base_tokens = engine.total_output_tokens
-    window_open.set()
-    w0 = time.perf_counter()
-    time.sleep(8.0 if tiny else 45.0)
-    elapsed = time.perf_counter() - w0
-    tokens_out = engine.total_output_tokens - base_tokens
-    round_log_snapshot = engine.round_snapshot()  # window-only anatomy
-    window_open.clear()
-    stop.set()
-    gen.join(timeout=10)
-
-    agg_tps = tokens_out / elapsed
-
-    # Round anatomy over the measurement window (VERDICT r2 item 1): where
-    # does wall time go — device rounds vs host admission prep — and what do
-    # the mixed families look like.
-    import collections
-
-    rl = round_log_snapshot
-    agg = collections.defaultdict(lambda: [0, 0.0, 0.0, 0, 0, 0])
-    fams = collections.Counter()
-    for r in rl:
-        g = agg[r["kind"]]
-        g[0] += 1
-        g[1] += r["admit_s"]
-        g[2] += r["round_s"]
-        g[3] += r["emitted"]
-        g[4] += r["live"]
-        g[5] += int(r["fresh"])
-        if r["kind"] in ("mixed", "block"):
-            # mixed: (family, npt); block: (actual rows, padded family) —
-            # the block pair quantifies admission padding waste.
-            fams[(r["kind"], r["a"], r["npt"])] += 1
-    for kind, (n, adm, rnd, emit, live, fresh) in sorted(agg.items()):
-        log(f"anatomy[{kind}]: n={n} admit_host={adm:.2f}s round={rnd:.2f}s "
-            f"({rnd / max(n, 1) * 1e3:.0f} ms/round) emitted={emit} "
-            f"mean_live={live / max(n, 1):.1f} fresh={fresh}")
-    log(f"anatomy families: {dict(fams)}")
-    covered = sum(g[1] + g[2] for g in agg.values())
-    log(f"anatomy: rounds cover {covered:.1f}s of {elapsed:.1f}s window "
-        f"(gap {elapsed - covered:.1f}s = loop host work outside rounds)")
-    # Outlier sentinel: a non-fresh round >5x its kind's window median means
-    # the chip slowed mid-window (fresh rounds legitimately pay a compile).
-    outliers = []
-    fresh_in_window = 0
-    by_kind: dict = collections.defaultdict(list)
-    for r in rl:
-        by_kind[r["kind"]].append(r["round_s"])
-        fresh_in_window += int(r["fresh"])
-    for r in rl:
-        med = float(np.median(by_kind[r["kind"]]))
-        if not r["fresh"] and len(by_kind[r["kind"]]) >= 4 \
-                and r["round_s"] > 5.0 * med:
-            outliers.append((r["kind"], round(r["round_s"], 2),
-                             round(med, 3)))
-    if fresh_in_window:
-        log(f"WINDOW HAD {fresh_in_window} FRESH-KEY ROUNDS (compiles in "
-            f"the measurement window — warmup coverage gap)")
-    if outliers:
-        log(f"WINDOW OUTLIERS (non-fresh rounds >5x kind median): "
-            f"{outliers[:10]}")
-        degraded_flags.append(f"{len(outliers)} window outliers")
-    with lock:
-        ttfts = [r.ttft_s for r in admitted_during_window
-                 if r.ttft_s is not None]
-        n_done = len([r for r in finished if r.error is None])
-        n_err = len([r for r in finished if r.error is not None])
-    sat_p50 = float(np.median(ttfts) * 1e3) if ttfts else float("nan")
-    sat_p90 = (float(np.percentile(ttfts, 90) * 1e3) if ttfts
-               else float("nan"))
-    log(f"phase C: {tokens_out} tokens in {elapsed:.1f}s -> {agg_tps:.0f} "
-        f"tok/s serving aggregate (prefill FLOPs included); {n_done} done "
-        f"({n_err} errors); saturated TTFT p50 {sat_p50:.0f} / p90 "
-        f"{sat_p90:.0f} ms")
-    log(f"engine stats: {engine.stats()}")
-    slow_events = engine.event_snapshot()
-    if slow_events:
-        log(f"slow events (>{engine.slow_event_s:.0f}s loop phases): "
-            f"{slow_events[-20:]}")
-    engine.stop()
-    if not tiny and probe_inproc("post-window") > 2.0:
-        degraded_flags.append("post-window probe")
-
-    result = {
-        "metric": "decode_tokens_per_sec_per_chip_chatts8b_int4_c32",
-        "value": round(decode_tps, 1),
-        "unit": "tokens/s/chip",
-        "vs_baseline": round(decode_tps / R1_8B_C32_TOKS, 3),
-        "p50_ttft_ms": round(p50_ttft_ms, 1),
-        "p50_ttft_single_ms": round(p50_solo_ms, 1),
-        "serving_agg_tokens_per_sec": round(agg_tps, 1),
-        "serving_ttft_p50_ms": round(sat_p50, 1),
-        "serving_ttft_p90_ms": round(sat_p90, 1),
-        "requests_completed_per_min": round(n_done * 60 / elapsed, 1),
-        "window_fresh_rounds": fresh_in_window,
-        "degraded": bool(degraded_flags),
-        "baseline_note": (
-            "decode c32 vs r1 8B int8 2230 tok/s; ttft = burst-8 on "
-            "warm engine (r1 definition); serving_agg includes "
-            "continuous admission prefill FLOPs; chatts14b = 14B "
-            "shape (5120h/48L/40H8KV) int4 on the same chip"
-        ),
-    }
-    if degraded_flags:
-        result["degraded_why"] = degraded_flags
     # EARLY line: a mid-14B driver kill must still leave the 8B headline
-    # parseable on stdout (VERDICT r3 item 1 — r3 had rc=124, parsed null).
+    # parseable on stdout.
     print(json.dumps(dict(result, chatts14b={"pending": True})), flush=True)
-    # Re-arm the watchdog's emergency payload with the full 8B result: if
-    # the 14B phase wedges, the emergency line carries real numbers.
-    partial.clear()
-    partial.update(result, degraded=True,
-                   chatts14b={"skipped": "watchdog cut the 14B phase"})
-    partial["degraded_why"] = (result.get("degraded_why") or []) + [
-        "watchdog: 14B phase exceeded the budget"]
 
-    # --- Phase D: 14B shape, in its own process (serial — concurrent TPU
-    # clients stall each other on this tunnel), with ONLY the remaining
-    # budget and no retry. -------------------------------------------------
-    results_14b: dict = {}
+    # --- 14B worker (serial — concurrent TPU clients stall each other on
+    # this tunnel), with ONLY the remaining budget and no retry. -----------
     remaining = hard_deadline - time.time()
     if tiny or os.environ.get("CHATTS_BENCH_SKIP_14B") == "1":
         results_14b = {"skipped": "tiny mode or CHATTS_BENCH_SKIP_14B"}
@@ -973,41 +1117,31 @@ def main():
                        f"insufficient budget ({remaining:.0f}s left)"}
         log(f"14B phase skipped: {remaining:.0f}s of budget left")
     else:
-        import subprocess
-
-        env = dict(os.environ, CHATTS_BENCH_14B="1",
-                   CHATTS_BENCH_14B_BUDGET_S=str(int(remaining - 90)))
-        t0 = time.perf_counter()
-        proc14b = subprocess.Popen(
-            [sys.executable, __file__], env=env, stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE, text=True,
+        got = _run_worker(
+            "14b",
+            budget_s=remaining - 75,
+            first_milestone_s=420,  # 14B init ~2x the 8B one
+            abs_deadline=hard_deadline - 30,
         )
-        children.append(proc14b)  # watchdog kills it on emergency exit
-        try:
-            out_s, err_s = proc14b.communicate(
-                timeout=max(300.0, remaining - 75))
-            sys.stderr.write(err_s[-4000:])
-            for line in out_s.strip().splitlines():
-                try:
-                    results_14b = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-            if not results_14b:
-                results_14b = {"skipped":
-                               f"subprocess rc={proc14b.returncode}, "
-                               "no JSON"}
-        except subprocess.TimeoutExpired:
-            proc14b.kill()
-            log("14B phase hit its subprocess timeout")
-            results_14b = {"skipped": "subprocess timeout"}
-        log(f"14B phase: {time.perf_counter() - t0:.1f}s -> {results_14b}")
+        results_14b = got if got is not None else {
+            "skipped": "no 14B milestone (worker died or hung)"}
 
     result["chatts14b"] = results_14b
     if results_14b.get("degraded"):
         result["degraded"] = True
         result.setdefault("degraded_why", []).append("14B subprocess")
-    final_printed.set()
+    result["elapsed_s"] = round(time.time() - t_start, 1)
     print(json.dumps(result), flush=True)
+
+
+def main():
+    kind = os.environ.get("CHATTS_BENCH_WORKER")
+    if kind == "8b":
+        worker_8b()
+    elif kind == "14b":
+        worker_14b()
+    else:
+        _orchestrate()
 
 
 if __name__ == "__main__":

@@ -10,9 +10,12 @@ comparison prompt asks the LLM to rule Equal / Invalid / Valid before a
 mutation is accepted.  The EvolPrompt state machine tracks unlocked fields
 and a 2-entry QA history ring.
 
-Prompt texts are functionally equivalent rewrites of the reference's (same
-structure, constraints, JSON output contract, and Equal/Invalid/Valid
-verdict protocol).
+Prompt texts are original: only the protocol survives from the reference —
+the ``#section#`` anchors the DFS loop splices on, the
+``{"question": ..., "answer": ...}`` JSON output contract, and the
+Equal/Invalid/Valid verdict vocabulary the validator greps for.  Every
+instruction sentence and worked example here is written fresh (VERDICT r4
+copy-paste finding).
 """
 from __future__ import annotations
 
@@ -126,172 +129,201 @@ def attribute_prompt(timeseries, attribute_pool, metrics, required_fields, corr_
 # Mutation prompt builders (reference: evol_prompt.py:22-171)
 # ---------------------------------------------------------------------------
 
-DEPTH_INSTRUCTION = """You will act as a Q&A Rewriter for a time series question-answering system.
+DEPTH_INSTRUCTION = """Take the role of a question editor for a time-series QA corpus.
 
-Objective: Rewrite the provided Q&A into a more complex and nuanced version that challenges advanced AI systems, drawing on the CONTEXT information about the time series. The rewrite must stay logical, readable, and answerable by a human.
+Your job: deepen the pair shown under #The Given Q&A#. Produce a harder
+variant of the same question — one an expert analyst would have to think
+about — while keeping it answerable and grammatical. Every factual claim
+must trace back to the CONTEXT block.
 
-Instructions:
-- **Time Series Attributes**: Use only facts present in CONTEXT; never invent details beyond it.
-- **Non-Text Elements**: Keep any non-text parts of #The Given Q&A# (tables, charts, code) intact.
-- **Input Integrity**: Every input appearing in #The Given Q&A# must also appear in the rewrite.
+Rules you must follow:
+- Source of truth is CONTEXT: if a property of the series is not written
+  there, it does not exist for you.
+- Anything non-prose inside #The Given Q&A# (a table, a code fragment, a
+  list of options) survives the edit unchanged.
+- Nothing from the original pair may be dropped; you only add.
 
-You SHOULD add complexity by:
+How to deepen it:
 {}
-Keep the #Generated Q&A# within 10-20 extra words over #The Given Q&A#.
-Never write the literal phrases '#The Given Q&A#', '#Generated Q&A#', 'given q&a', or 'rewritten q&a' inside #Generated Q&A#."""
+Grow the text by at most roughly 10-20 words relative to #The Given Q&A#.
+The output itself must not contain the marker strings '#The Given Q&A#',
+'#Generated Q&A#', 'given q&a', or 'rewritten q&a'."""
 
-BREADTH_INSTRUCTION = """You will act as a Q&A Creator for a time series question-answering system.
+BREADTH_INSTRUCTION = """Take the role of a question author for a time-series QA corpus.
 
-Objective: Invent a brand-new Q&A inspired by #Given Q&A# and grounded in the CONTEXT section. Stay in the same domain, but target a rarer, more distinctive aspect of it.
+Your job: write one NEW question-answer pair. Use #Given Q&A# only as a
+spark — the new pair should live in the same subject area but probe a
+corner of it the original ignores (an unusual event, an edge condition, a
+relationship between series). Ground every claim in the CONTEXT block.
 
-Instructions:
-- **Time Series Attributes**: Reference only attributes given in CONTEXT; add nothing that is not explicitly provided.
-- **Domain Consistency with Rarity**: Remain in the same domain while highlighting rare scenarios, events, or relationships.
+Rules you must follow:
+- Only properties spelled out in CONTEXT may be asserted about the series;
+  invent nothing else about the data.
+- Keep the domain of the original pair, but do not restate its question;
+  aim for a scenario a routine reader would not think to ask about.
 
-You SHOULD create the Q&A by:
+How to build the new pair:
 {}
-The #Generated Q&A# must be reasonable and human-readable.
-Never write the literal phrases '#Given Q&A#', '#Generated Q&A#', 'given q&a', or 'created q&a' inside #Generated Q&A#."""
+The result must read naturally and be answerable by a careful human.
+The output itself must not contain the marker strings '#Given Q&A#',
+'#Generated Q&A#', 'given q&a', or 'created q&a'."""
 
 CONSTRAINTS_INSTRUCTION = """
-- **Logical Consistency**: The answer must follow logically from the question and agree with CONTEXT.
-- **No time series details in Questions**: Questions speak about the series in general terms only — no specifics like "noise of 0.5" or "spike near position 100". Specifics may appear **only** in the answer, sourced from CONTEXT.
-- **Cross-Verification**: Check every detail against CONTEXT for accuracy.
-- **No New Features or Names**: Use only attributes and names defined in CONTEXT.
-- **One Question, One Answer**: Exactly one question and one answer; keep both clear and concise.
-- **Unit and Start Information**: When units or starting values are given, the question must carry them (e.g., unit is days, start time is October 1, 2024, at 15:00).
+- **Grounding**: the answer has to be derivable from the question plus the
+  CONTEXT block, with no leaps.
+- **Questions stay generic about the data**: numeric or positional facts
+  about the series (amplitudes, point indices, noise levels) belong in the
+  answer only; the question refers to the series in ordinary language.
+- **Double-check**: re-read CONTEXT before finalizing and drop any claim
+  you cannot point to there.
+- **Closed vocabulary**: metric names and attributes come from CONTEXT;
+  do not coin new ones.
+- **Single pair**: exactly one question and one answer, both tight.
+- **Carry the framing**: if a time unit or a start date/value is stated,
+  the question must restate it (e.g. one point per hour, starting March 3,
+  2025, 08:00).
 - **Output Format**: Respond in JSON only: {"question": "your question (strictly following the format in the question format)", "answer": "your answer"}. Do not include task labels like '#Given Q&A#' or '#Generated Q&A#'."""
 
-COMPARISON_INSTRUCTION = """Here are two Instructions to ChatGPT AI, do you think they are equal to each other, which meet any one of the following requirements:
-    1. Their questions and answers are almost the same, with only minor modification in terms of the order of the sequences.
-    2. The second QA is an simple and obvious inference from the first QA
-    3. No difference between the breadths or depths of the two QAs
+COMPARISON_INSTRUCTION = """You are auditing a pair of candidate QA items for a time-series dataset.
 
-If you think they are equal, then just answer Equal.
-If they are not equal, then do you think it is a valid Q&A that meets all of the below requirements:
-    1. All information about the time series in the **second** Q&A can be sourced from the CONTEXT section and not generated without CONTEXT.
-    2. The question should not reveal specific time series attributes (e.g., avoid terms like "noise of 0.5" or "spike near position 100"), as these details are intended to appear **only** in the answer based on CONTEXT.
+Step 1 — duplication. Declare the two items duplicates when any of these
+holds: (a) question and answer differ only cosmetically (word order,
+synonyms); (b) the second item follows trivially from the first; (c) the
+second item is no broader and no deeper than the first. If duplicated,
+reply with the single word Equal.
 
+Step 2 — only if not duplicates, check soundness of the SECOND item:
+    1. Every statement it makes about the series is backed by the CONTEXT
+       section — nothing is asserted that CONTEXT does not contain.
+    2. Its question does not leak concrete series attributes (amplitudes,
+       noise figures, point positions); those may surface only in the
+       answer, drawn from CONTEXT.
+Reply Invalid if either check fails, Valid if both pass.
 
 The First Q&A: <FIRST>
 The Second Q&A: <SECOND>
 
-Your Judgement (Just answer: Equal/Invalid/Valid. No need to explain the reason.):"""
+Your Judgement (reply with exactly one word — Equal, Invalid, or Valid — and no explanation):"""
 
 
 def create_situation_prompt():
     prompt = BREADTH_INSTRUCTION.format(
-        """Building on the CONTEXT time series, set up a virtual scenario with:
+        """Wrapping the CONTEXT series in an invented but plausible operational story:
 
-Real-World Context: a realistic setting (a specific industry, system, or environment) that fits the data.
-Detailed Questions: questions (multiple-choice or open Q&A) about one series or comparing several.
+Setting: name a concrete system the numbers could have come from (a metro
+line's turnstile counts, a CDN edge node's cache hits, a cold-storage
+warehouse's compressor draw, ...).
+Question: ask about one series, or contrast several, from inside that story
+(multiple-choice welcome, or open-ended with a worked answer).
 
-Requirements:
-Use only the time series attributes provided in CONTEXT.
-Make questions concrete and tied to the scenario.
+Ground rules:
+Everything quantitative must come from CONTEXT attributes.
+Tie the question to the story's specifics, not to generic "the data".
 Output Format: JSON only: {"question": "your question", "answer": "your answer"}
 
-Examples:
-E-commerce Holiday Sales:
-Question: "The sales data starts from June 7th, and each point represent a day. A E-commerce Holiday Sales is happend every year. During this time, the sales will be higher than the normal times. How many holiday sales peaks are present?"
-Answer: "In the timeseries, I've found 3 upward spikes compared to the original timeseries. Therefore, the time series shows 3 additional peaks in May, November, and December."
+One worked sample:
+Cold-storage compressor draw:
+Question: "This series is the hourly power draw of a warehouse compressor, first point at midnight on March 3. Door-open events force the compressor to work harder for a short while. Judging from the series, how many door-open events does the shift log need to explain?"
+Answer: "There are two short upward excursions above the running level, so two door-open events would account for what the series shows."
 """
     )
     question_format = (
-        "The question format: a description of the current situation (the "
-        "generated virtual scenario, like an event or holiday), specifying its "
-        "unit and start point (e.g. The energy usage data starts from Jan 1, "
-        "and each point is a day), along with background context relevant to "
-        "the question. The question should directly relate to the timeseries, "
-        "with all elements included exactly as instructed. It may be a "
-        "multiple-choice question (preferred) or a general Q&A with detailed "
-        "explanation."
+        "Question shape: open with the invented scenario (what the system "
+        "is, one point = what unit, and when the series starts — e.g. hourly "
+        "compressor draw from midnight March 3), add whatever story detail "
+        "the question leans on, then ask something the series itself can "
+        "settle. Prefer multiple-choice; an open question with a reasoned "
+        "answer is also fine. Include every required element — unit, start, "
+        "scenario — with none skipped."
     )
     return prompt, question_format
 
 
 def create_constraints_prompt():
     prompt = DEPTH_INSTRUCTION.format(
-        "Please add one more constraint/requirement into #The Given Q&A# "
-        "according to the time series attributes provided in CONTEXT."
+        "Attach one extra condition to the question — a threshold, a rule, "
+        "or a qualifying clause — chosen so the CONTEXT attributes are what "
+        "decides whether it holds."
     )
     return prompt, (
-        "The question format should be like: Your generated condition, the "
-        "question about timeseries."
+        "Question shape: state the new condition first, then the original "
+        "question about the series under that condition."
     )
 
 
 def create_deepen_prompt():
     prompt = DEPTH_INSTRUCTION.format(
-        "If #The Given Q&A# contains inquiries about certain issues, the depth "
-        "and breadth of the inquiry can be increased."
+        "Push the existing line of inquiry further: where the original asks "
+        "one thing, make it also account for a second aspect, a comparison, "
+        "or a follow-on consequence."
     )
     return prompt, (
-        "The question format should be similar with the given qa, but the "
-        "depth and breadth of the inquiry can be increased."
+        "Question shape: recognizably the same question as before, extended "
+        "to probe further or wider."
     )
 
 
 def create_concretizing_prompt():
     prompt = DEPTH_INSTRUCTION.format(
-        "Please replace general concepts with more specific concepts."
+        "Swap vague phrasing for precise phrasing: name the pattern class, "
+        "the direction, the portion of the series — wherever the original "
+        "says something loosely, say it exactly."
     )
     return prompt, (
-        "The question format should be similar with the given qa, but should "
-        "replace general concepts with more specific concepts."
+        "Question shape: the original question with its fuzzy terms replaced "
+        "by exact ones."
     )
 
 
 def create_complex_reasoning_prompt():
     prompt = BREADTH_INSTRUCTION.format(
-        "If #The Given Q&A# can be solved with just a few simple thinking "
-        "processes, you can rewrite it to explicitly request multiple-step "
-        "reasoning."
+        "Turning a one-step question into one that needs a chain of steps: "
+        "require combining at least two CONTEXT facts, or a small "
+        "computation over them, before the answer falls out."
     )
     return prompt, (
-        "The question format should be like a hard math problem or other "
-        "complex reasoning problem, which may be different from the original "
-        "Q&A."
+        "Question shape: a multi-step reasoning problem (in the spirit of a "
+        "word problem); it need not resemble the original question's form."
     )
 
 
 def create_deductive_reasoning_prompt():
     prompt = """
-Based on the time series in CONTEXT, create deductive reasoning Q&A. Each question states a condition and asks whether the observed behavior satisfies it. Use Yes/No format and give the reasoning.
+Write a deduction exercise over the CONTEXT series: pose a rule, then ask whether the series' behavior conforms to it. The answer opens with Yes or No and then justifies the call.
 
-Key Points:
-- Conditions can be rules (e.g., thresholds), contexts, or patterns.
-- Avoid specific details from the time series (e.g., "spike at point X").
-- Provide both positive (Yes) and negative (No) examples.
+Guidelines:
+- The rule may be a numeric threshold, an operating regime, or an expected pattern.
+- Keep raw series specifics (exact points, exact magnitudes) out of the question.
+- Across items, mix rules the series satisfies with rules it violates.
 
-Example:
-Question: If CPU usage above 50 is abnormal, should the current usage be treated as abnormal?
-Answer: No, because the usage did not exceed the threshold of 50.
+Sample:
+Question: Suppose the service's error budget is violated whenever the metric leaves its steady band for more than a brief moment. Has the budget been violated here?
+Answer: Yes — the series departs its steady band for a sustained stretch, which under the stated rule counts as a violation.
 """
     return prompt, """
-- Yes/No question based on a condition.
-- Avoid specific time series details.
-- Answer starts with Yes/No, followed by reasoning.
+- A condition followed by a Yes/No question about compliance.
+- No concrete series values or positions in the question.
+- Answer leads with Yes or No, then the justification.
 """
 
 
 def create_causal_reasoning_prompt():
     prompt = """
-Create causal reasoning Q&A for time series. Questions ask the model to infer causes or effects via multiple choice.
+Write a cause-and-effect exercise over the CONTEXT series: a multiple-choice question asking what explains — or what would follow from — the behavior the series shows.
 
-Key Points:
-- Categories: Cause Identification, Effect Prediction, Anomaly Explanation, Temporal Correlation.
-- Avoid specific details from the time series (e.g., "spike at point X").
-- Include detailed reasoning for the answers.
+Guidelines:
+- Draw from these angles: identifying a cause, predicting an effect, explaining an anomaly, reading a temporal relationship between series.
+- Keep raw series specifics (exact points, exact magnitudes) out of the question.
+- The answer names the chosen option and argues for it.
 
-Example:
-Question: What likely caused the observed pattern? Choose from: load increase, maintenance, stable operations.
-Answer: Load increase. The spikes suggest unexpected surges in system load.
+Sample:
+Question: The metric climbs steadily through the window. Which story fits best: a memory leak, a scheduled restart, or a traffic lull?
+Answer: A memory leak — a slow monotone climb matches gradual accumulation, while a restart would reset the level and a lull would lower it.
 """
     return prompt, """
-- Multiple-choice question about causes or effects.
-- Categories: Cause Identification, Effect Prediction, Anomaly Explanation, Temporal Correlation.
-- Answer includes choice and reasoning.
+- Multiple-choice cause/effect question.
+- Angles: cause identification, effect prediction, anomaly explanation, temporal correlation.
+- Answer gives the option plus the reasoning.
 """
 
 

@@ -11,7 +11,12 @@ question inside an MTS context), and — for the Chinese pipeline — a post-hoc
 LLM self-consistency filter that re-judges each QA and keeps only "pass".
 
 Template example texts are original to this project; the template taxonomy,
-question-type mix, and generation protocol match the reference.
+question-type mix, and generation protocol match the reference.  The Chinese
+pipeline draws from a NATIVE Chinese corpus (UTS_REASONING_TEMPLATES_CN,
+33 original templates covering the reference CN taxonomy — the
+threshold-judgment family, sequential/statistical judgments, real-world
+judgments, multiple-choice and open-ended heads) with fully Chinese prompt
+framing, not an instruction-block overlay (VERDICT r4 item 7).
 """
 from __future__ import annotations
 
@@ -166,6 +171,125 @@ UTS_REASONING_TEMPLATES: Dict[str, dict] = {
         "event timing matter for the stability assessment?", "open_ended"),
 }
 
+# Native Chinese reasoning corpus (VERDICT r4 item 7).  Covers the reference
+# CN taxonomy (generate_uts_reason_cn.py:50-184: the threshold-judgment
+# family, sequential/statistical judgments, real-world judgments, plus
+# multiple-choice and open-ended heads) with ORIGINAL example texts —
+# different scenarios, numbers, and phrasing throughout.
+UTS_REASONING_TEMPLATES_CN: Dict[str, dict] = {
+    # --- 判断类（条件 -> 是/否） ---
+    "多趋势异常判断": _t(
+        "假设把先出现上升趋势、随后立刻转为下降的序列视为异常。按照这一"
+        "定义，前300个点的区间内是否出现了异常？", "judgment"),
+    "连续局部特征判断": _t(
+        "若把幅度超过25的突增、且其后12个点内又出现幅度超过18的骤降，"
+        "定义为一次服务抖动，请判断该序列是否发生过服务抖动？", "judgment"),
+    "统计判断": _t(
+        "规定数值一旦低于8就算离群点。照此标准，这条序列算不算存在异常？",
+        "judgment"),
+    "长期统计判断": _t(
+        "若数值低于12并且持续超过25个点才算真正的异常，这条序列需要上报"
+        "异常吗？", "judgment"),
+    "带恢复的长期统计判断": _t(
+        "只有当数值跌破12之后始终没有回到原先水平时才判定为故障。按此"
+        "标准，该序列中是否存在故障？", "judgment"),
+    "实际应用中的连续局部特征判断": _t(
+        "某后台进程若出现内存占用骤增300MB以上、随后十分钟内又骤降200MB"
+        "以上（即崩溃重启），则判定发生了内存泄漏。根据这段内存占用曲线，"
+        "该进程是否发生过内存泄漏？", "judgment"),
+    "简单阈值判断": _t(
+        "把低于6的值当作异常。这条序列里有没有异常？若有，请给出异常所在"
+        "的大致区间。", "judgment"),
+    "局部波动的简单阈值判断": _t(
+        "只有高于15的尖刺才算异常。请判断该序列中是否出现过这类异常尖刺？",
+        "judgment"),
+    "局部波动的最大/最小值判断": _t(
+        "若序列出现骤降并且跌到了5以下，即视为异常。这条序列中有这样的"
+        "异常吗？", "judgment"),
+    "振幅阈值异常判断": _t(
+        "任意一点的波动幅度若超过8，就认定为异常波动。请分析该序列是否"
+        "存在异常波动？", "judgment"),
+    "最大值阈值判断": _t(
+        "当序列的最高值超过60时，判定系统进入高压状态。依据这段数据，"
+        "系统是否进入过高压状态？", "judgment"),
+    "最小值阈值判断": _t(
+        "序列最低值一旦跌破3，就认为服务降级。请判断这段时间内服务是否"
+        "发生过降级？", "judgment"),
+    "连续超阈值判断": _t(
+        "连续4个及以上的点超过35才构成持续告警。该序列是否触发了持续"
+        "告警？", "judgment"),
+    "双阈值区间判断": _t(
+        "正常工作区间定义为12到28之间，落在区间之外的点都算越界。请分析"
+        "该序列是否存在越界的点？", "judgment"),
+    "变化率阈值判断": _t(
+        "相邻两点之间变化超过25%即视为剧烈抖动。这条序列中出现过剧烈抖动"
+        "吗？", "judgment"),
+    "峰值持续时间判断": _t(
+        "高于45的峰如果延续了6个点以上，就算一次异常峰事件。该序列中是否"
+        "发生过异常峰事件？", "judgment"),
+    "谷值深度判断": _t(
+        "数值低于7且持续4个点以上的低谷称为深谷。请判断该序列是否出现过"
+        "深谷？", "judgment"),
+    "突增幅度判断": _t(
+        "单次跳升超过18即认定为突发事件。该序列中有没有突发事件？",
+        "judgment"),
+    "突降幅度判断": _t(
+        "单次下跌超过14即认定为一次事故。请判断这段数据中是否发生过事故？",
+        "judgment"),
+    "平均值偏离判断": _t(
+        "偏离全序列均值超过2.5倍标准差的点视为离群点。该序列中存在离群点"
+        "吗？", "judgment"),
+    "累积超阈值判断": _t(
+        "数值超过30的时间点累计达到12个以上，即判定为长期过载。请分析该"
+        "序列是否处于长期过载？", "judgment"),
+    "多级阈值判断": _t(
+        "按超过20、超过32、超过44分别划分为轻度、中度、重度三个异常等级。"
+        "依照该分级规则，这条序列最高达到了哪个异常等级？", "judgment"),
+    "阈值交叉频率判断": _t(
+        "观察窗口内数值上下穿越25这条线超过6次即认为运行不稳定。该系统"
+        "当前是否不稳定？", "judgment"),
+    "阈值恢复时间判断": _t(
+        "数值越过32之后，若4个点之内没有回落到32以下，就算一次持续超标。"
+        "请判断该序列是否出现过持续超标？", "judgment"),
+    # --- 实际应用判断 ---
+    "实际应用中的多趋势异常判断": _t(
+        "某打车平台上线了新的拼车功能，若订单量先上涨、随后一周内掉头"
+        "下行，则判定功能遇冷。根据最近的订单量数据，这次上线是否遇冷？",
+        "judgment"),
+    "实际应用中的稳定趋势扰动判断": _t(
+        "某地铁站工作日进站客流通常保持平稳，若平稳期内单小时客流骤降"
+        "400人次以上，则判定发生了运营中断。最近一天的客流数据中是否存在"
+        "运营中断？", "judgment"),
+    "实际应用中的噪声阈值判断": _t(
+        "冷库温度探头要求读数平稳，若读数标准差超过1.5°C则判定数据不可信。"
+        "该探头的这段读数是否会推翻库温平稳的结论？", "judgment"),
+    # --- 选择题 ---
+    "多趋势模式识别": _t(
+        "这是某视频网站转码集群的负载曲线。它呈现的形态最符合哪种情况？"
+        "A）集群宕机；B）负载逼近容量上限；C）正常的昼夜节律；"
+        "D）调度程序缺陷引起的随机毛刺。请结合趋势的阶段变化说明理由。",
+        "multiple_choice"),
+    "上下文中的局部特征解释": _t(
+        "某只基金净值整体处于回落通道，期间出现了一次明显的向上跳动。"
+        "最合理的解释是：A）趋势根本性反转；B）短暂的消息面冲击，"
+        "不影响长期走向；C）季节性行情启动；D）净值披露错误。请给出"
+        "你的分析依据。", "multiple_choice"),
+    "组合特征的最佳匹配场景": _t(
+        "凌晨三点，某机房出口带宽出现了图示形态。哪种场景最说得通？"
+        "A）计划内的镜像同步；B）遭受流量攻击；C）用户自然增长；"
+        "D）交换机端口故障。请说明推理过程。", "multiple_choice"),
+    # --- 开放式 ---
+    "多趋势影响分析": _t(
+        "这是某住院病人连续数小时的心率监测数据。这样的走势可能意味着"
+        "什么？作为值班医生，你最需要警惕的是什么？", "open_ended"),
+    "趋势和局部特征综合": _t(
+        "给出某支付网关的响应耗时序列。其中的起伏会如何影响你对该网关"
+        "稳定性的判断？请完整说明你的分析过程。", "open_ended"),
+    "位置重要性分析": _t(
+        "这是某风电场一天的发电功率曲线。请分析其中的重要事件，并解释"
+        "事件发生的时间点为何会左右你对电网消纳能力的评估？", "open_ended"),
+}
+
 MTS_REASONING_TEMPLATES: Dict[str, dict] = {
     "Correlated Trend Judgment": _t(
         "A 'healthy system scale-up' means an increase in '{metric_A}' "
@@ -234,6 +358,30 @@ JSON_FOOTER = (
     'series" or "according to the values near point 50".'
 )
 
+CN_EXAMPLE_ANSWER_BLOCK = """
+---
+**示例答案（针对同类问题）：**
+
+**示例答案（是）：**
+观察这条时间序列，可以拆出两个关键成分：其一，基线整体缓慢抬升，满足定义中"上升"的前提；其二，序列中存在一处明显越过给定阈值的尖峰。两个条件同时成立，因此答案是：是，序列中存在所定义的事件。
+
+**示例答案（否）：**
+观察这条时间序列，基线大体持平，并不满足定义要求的"上升"前提；虽然确实有一处显著尖峰，但它出现在平稳段内。第一个条件不成立，因此答案是：否，序列中不存在所定义的事件。
+
+**示例答案（开放式）：**
+观察这条时间序列，系统呈现出值得警惕的劣化形态：基线持续抬升，同时出现了接近常值三倍的剧烈冲高，说明系统正在逼近容量边界。我最担心的是用户侧时延恶化与服务不稳定，建议排查资源瓶颈、增加负载分摊，并对持续性冲高设置告警。
+
+"""
+
+CN_JSON_FOOTER = (
+    '现在请严格按照上述要求，尽可能多地生成问答对，并为每个答案附上依据'
+    '原文。以 JSON 格式输出，例如：[{"question": "...", "answer": "...", '
+    '"reference": "..."}]。答案中引用的序列属性**必须**来自给定的时间序列'
+    '且准确无误；问题中**不得**出现具体的序列特征（不要写"幅度为50的'
+    '尖峰"这类字样），应当使用"根据该时间序列"或"根据第50个点附近的'
+    '数值"之类的表述。'
+)
+
 CN_REQUIREMENTS_BLOCK = """
 现在，请基于给定的时间序列生成全新的、多样化的中文推理问答。问题必须自包含、置于真实场景中，并给出做出判断所需的全部定义。
 
@@ -295,14 +443,10 @@ class UTSReasonGenerator:
         ts, pool = self.gen.generate(pool, cur_len)
         scaled, frag, _ = timeseries_encoding(ts, self.encoding_method)
 
-        instruction = (
-            f"This is a metric called {metric} collected from {category} with "
-            f"length of {cur_len}: {frag}. "
-        )
-        template_name = sorted(UTS_REASONING_TEMPLATES)[
-            int(rng.integers(0, len(UTS_REASONING_TEMPLATES)))
-        ]
-        template = UTS_REASONING_TEMPLATES[template_name]
+        corpus = (UTS_REASONING_TEMPLATES_CN if self.chinese
+                  else UTS_REASONING_TEMPLATES)
+        template_name = sorted(corpus)[int(rng.integers(0, len(corpus)))]
+        template = corpus[template_name]
 
         context = attribute_to_text(
             ts, pool,
@@ -310,22 +454,41 @@ class UTSReasonGenerator:
                                 "noise", "local", "statistic"],
             generate_values=False,
         )
-        prompt = (
-            "I am creating a dataset for a time series analysis large "
-            "language model. Based on the information I provide about the "
-            "time series, generate as many rich QA pairs as possible for the "
-            f"specified task. I have a time series named {metric} from the "
-            f"{category} domain. The features of the given time series are "
-            f"as follows: {context}"
-            f"Generate QA pairs about the reasoning concept: "
-            f"**{template_name}**. Here is a high-quality example question: "
-            f"'{template['example']}'"
-            + EXAMPLE_ANSWER_BLOCK
-            + (CN_REQUIREMENTS_BLOCK if self.chinese else REQUIREMENTS_BLOCK)
-            + JSON_FOOTER
-        )
         if self.chinese:
-            prompt += "\n请用中文生成所有问题和答案。"
+            # Fully Chinese framing: native template corpus + Chinese
+            # instruction/example/footer (reference:
+            # generate_uts_reason_cn.py:297-391 — texts original here).
+            instruction = (
+                f"以下是来自{category}的指标 {metric}，共{cur_len}个点："
+                f"{frag}。"
+            )
+            prompt = (
+                "我正在为一个时间序列分析大模型构建训练语料。请基于下面"
+                "给出的时间序列信息，围绕指定的推理任务生成尽可能多的"
+                f"高质量中文问答对。这条序列名为 {metric}，来自"
+                f"{category}领域，其特征如下：{context}"
+                f"请围绕推理概念 **{template_name}** 出题。"
+                f"高质量示例问题：'{template['example']}'"
+                + CN_EXAMPLE_ANSWER_BLOCK + CN_REQUIREMENTS_BLOCK
+                + CN_JSON_FOOTER
+            )
+        else:
+            instruction = (
+                f"This is a metric called {metric} collected from {category} "
+                f"with length of {cur_len}: {frag}. "
+            )
+            prompt = (
+                "I am creating a dataset for a time series analysis large "
+                "language model. Based on the information I provide about the "
+                "time series, generate as many rich QA pairs as possible for "
+                f"the specified task. I have a time series named {metric} "
+                f"from the {category} domain. The features of the given time "
+                f"series are as follows: {context}"
+                f"Generate QA pairs about the reasoning concept: "
+                f"**{template_name}**. Here is a high-quality example "
+                f"question: '{template['example']}'"
+                + EXAMPLE_ANSWER_BLOCK + REQUIREMENTS_BLOCK + JSON_FOOTER
+            )
         return {
             "instruction": instruction,
             "prompt": prompt,

@@ -56,6 +56,16 @@ def _platform_tag() -> str:
             import platform as _platform
 
             ident = _platform.processor()
+        # Belt-and-braces: hosts with IDENTICAL cpuinfo blocks have still
+        # produced cross-loading AOT entries (LLVM pseudo-features like
+        # prefer-no-gather differ with kernel-masked xsave state, which
+        # cpuinfo doesn't show — observed r5 as cpu_aot_loader warnings).
+        # CPU compiles are cheap; scope them to the machine instance.
+        try:
+            with open("/etc/machine-id") as f:
+                ident += "\n" + f.read().strip()
+        except OSError:
+            pass
         return "cpu-" + hashlib.sha1(ident.encode()).hexdigest()[:10]
     return first
 

@@ -24,26 +24,23 @@ import subprocess
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+# Repo root == parent of scripts/ (ADVICE r4: don't hardcode /root/repo).
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
 
 
 def probe_once(threshold_s: float) -> bool:
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+    """Reuse bench.py's calibrated probe (ADVICE r4: a second, divergent
+    probe workload would drift from the threshold calibrated against
+    bench.py's 2048x2048 fori_loop — ~40 ms healthy vs ~7 s degraded).
+    probe_inproc compiles + warms with a real data fetch outside its timed
+    window (block_until_ready is a weak sync on the axon tunnel)."""
+    if threshold_s == float("inf"):  # CPU smoke: 50 2048^3 matmuls on the
+        print("probe: skipped (threshold inf)", flush=True)
+        return True  # single-core host would take minutes
+    import bench
 
-    @jax.jit
-    def loop(x):
-        for _ in range(50):
-            x = x @ x * 0.001
-        return x
-
-    x = jnp.ones((512, 512), jnp.bfloat16)
-    loop(x).block_until_ready()  # compile outside the timed window
-    t0 = time.perf_counter()
-    float(np.asarray(loop(x)[0, 0]))
-    dt = time.perf_counter() - t0
-    print(f"probe: 50-matmul loop {dt * 1e3:.0f} ms", flush=True)
+    dt = bench.probe_inproc("gate")
     return dt < threshold_s
 
 
@@ -74,13 +71,18 @@ def attempt() -> int:
     """One probe+canary pass in THIS process (called with --once)."""
     from chatts_tpu.utils import compile_cache
 
-    if os.environ.get("GATE_CPU") == "1":  # smoke-test the gate off-chip
+    cpu_smoke = os.environ.get("GATE_CPU") == "1"  # smoke-test off-chip
+    if cpu_smoke:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
     compile_cache.enable()
-    gb = int(os.environ.get("GATE_GB", "13"))
-    thr = float(os.environ.get("GATE_PROBE_S", "2.0"))
+    # CPU smoke mode (ADVICE r4): the chip-calibrated defaults would OOM the
+    # host (13 GiB touch) and spuriously fail the probe threshold (bf16
+    # matmuls on the single-core host).  Default down/off unless overridden.
+    gb = int(os.environ.get("GATE_GB", "1" if cpu_smoke else "13"))
+    thr = float(os.environ.get("GATE_PROBE_S",
+                               "inf" if cpu_smoke else "2.0"))
     try:
         ok = probe_once(thr) and canary_once(gb)
     except Exception as e:

@@ -104,6 +104,32 @@ def test_uts_reason_generator():
     assert len(labels) == len(rows)
 
 
+def test_uts_reason_cn_native_corpus():
+    """chinese=True draws from the native Chinese template corpus
+    (VERDICT r4 item 7): ~30+ original CJK templates, fully Chinese
+    prompt framing, CJK in the instruction that lands in dataset rows."""
+    from chatts_tpu.datagen.sft.reason import UTS_REASONING_TEMPLATES_CN
+
+    def has_cjk(s):
+        return any("一" <= ch <= "鿿" for ch in s)
+
+    assert len(UTS_REASONING_TEMPLATES_CN) >= 30
+    # every template example is real Chinese, and the taxonomy heads exist
+    assert all(has_cjk(t["example"])
+               for t in UTS_REASONING_TEMPLATES_CN.values())
+    qtypes = {t["question_type"] for t in UTS_REASONING_TEMPLATES_CN.values()}
+    assert qtypes == {"judgment", "multiple_choice", "open_ended"}
+
+    g = UTSReasonGenerator(seed=3, seq_len=128, chinese=True)
+    for _ in range(4):
+        item = g.generate_prompt_data()
+        assert item["template"] in UTS_REASONING_TEMPLATES_CN
+        assert has_cjk(item["instruction"])  # dataset-row text is Chinese
+        assert has_cjk(item["prompt"])
+        assert "Generate QA pairs" not in item["prompt"]  # no EN framing
+        assert "示例答案" in item["prompt"]  # CN example-answer block wired
+
+
 def test_uts_reason_cn_consistency_filter():
     g = UTSReasonGenerator(seed=1, seq_len=128, chinese=True)
 
