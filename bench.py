@@ -1083,8 +1083,10 @@ def _orchestrate():
             try:
                 env = dict(os.environ, GATE_WAIT_S=str(int(gate_budget)),
                            GATE_ATTEMPT_S="150")
+                # Gate chatter must NOT land on OUR stdout (the driver
+                # parses stdout for the JSON result lines).
                 subprocess.call([sys.executable, gate_py], env=env,
-                                timeout=gate_budget + 120)
+                                stdout=sys.stderr, timeout=gate_budget + 120)
             except (subprocess.TimeoutExpired, OSError) as e:
                 log(f"re-gate failed ({e}); retrying anyway")
         else:

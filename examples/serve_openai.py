@@ -38,7 +38,12 @@ def main():
                         help="decode-scan steps per device round; 16 is the"
                              " latency-tuned measured config, 32 the"
                              " max-throughput one (BENCHMARKS.md r3 grid)")
-    parser.add_argument("--admission-bucket", type=int, default=8,
+    # Default 4: the measured r5 latency arm (c32 x bucket4 x chunk16 +
+    # early emit = 1,145 tok/s aggregate at 221 ms saturated TTFT p50 vs
+    # bucket8/chunk32's 1,280 at 408 ms) — the only arm meeting the
+    # <250 ms north star at >=1,100 tok/s.  Throughput-first deployments
+    # pass --admission-bucket 8 --decode-chunk 32.
+    parser.add_argument("--admission-bucket", type=int, default=4,
                         help="max rows per admission wave (block-family"
                              " ladder caps; widen past 8 for >32 slots)")
     parser.add_argument("--no-admission-binning", action="store_true",
