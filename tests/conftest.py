@@ -96,6 +96,7 @@ _SLOW_TESTS = {
     "test_warmup_compiles_mixed_step_under_small_cap",
     "test_wide_admission_bucket_rungs_token_exact",
     "test_checkpoint_resume",
+    "test_rehearse_published_gptq_checkpoint",
     "test_lora_grads_do_not_touch_base",
     "test_lora_sft_on_tp_mesh_matches_single_device",
     "test_lora_sft_reduces_loss",
