@@ -500,6 +500,9 @@ def worker_8b():
                 if time.time() > gate:
                     break
                 time.sleep(0.05)
+            _emit(res)  # heartbeat: a cold rung compiles 30-60 s; don't
+            # let the orchestrator's stall detector count the whole ladder
+            # as one silent phase
         while any(r.finished_s is None and r.error is None
                   for r in pre + extra):
             if time.time() > deadline:
@@ -827,6 +830,7 @@ def worker_14b():
                 if time.time() > gate:
                     break
                 time.sleep(0.05)
+            _emit(out)  # ladder heartbeat (see worker_8b)
         while any(r.finished_s is None and r.error is None
                   for r in pre + extra):
             if time.time() > deadline:
@@ -933,10 +937,14 @@ def worker_14b():
         # 0.6-1.1 s).  Window opens only after 5 consecutive non-fresh
         # rounds (budget-capped).
         hold = time.time() + min(600, max(0.0, rem() - 45))
+        last_beat = time.time()
         while time.time() < hold:
             recent = engine.round_snapshot()[-5:]
             if len(recent) >= 5 and not any(r["fresh"] for r in recent):
                 break
+            if time.time() - last_beat > 60:
+                _emit(out)  # compile-storm hold can exceed the stall window
+                last_beat = time.time()
             time.sleep(2)
         log(f"[14B] saturated ramp: +{engine.streamed_tokens - base0} "
             f"tokens, stats={engine.stats()}")
