@@ -768,10 +768,19 @@ def worker_14b():
     engine = ServeEngine(
         params, cfg, proc,
         max_batch_size=concurrency, max_model_len=1024,
+        admission_bucket=int(os.environ.get("CHATTS_BENCH_BUCKET", "8")),
         # int8 KV: ~9.4 GB of int4 weights + bf16 KV at c16 (6.4 GB) would
         # not fit the 16 GB chip; int8 KV halves the cache (3.2 GB).
         cache_dtype=jnp.int8, decode_chunk=32, fuse=False,
         prefill_act_int8=os.environ.get("CHATTS_BENCH_A8", "0") == "1",
+        # Early emission is MANDATORY for the 14B saturated phase to be
+        # measurable: a fused scan+block executable at this shape is a
+        # 40 s compile PER admission family, and the loadgen's coalescing
+        # reaches keys the ladder missed (measured r5: 10 of 12 ramp block
+        # rounds fresh, storm never flushed in the 600 s hold).  EE splits
+        # admissions into small prefill-only keys + ONE decode-scan key —
+        # the same reason the 8B phase C runs fresh=0.
+        block_early_emit=os.environ.get("CHATTS_BENCH_EE", "1") == "1",
     )
     rng = np.random.default_rng(0)
     mkreq = _request_factory(rng, _bench_prompt())
@@ -963,6 +972,17 @@ def worker_14b():
         # (warmup coverage gap); non-fresh outliers == chip slowdown.
         window = engine.round_snapshot()
         out["window_fresh_rounds"] = sum(int(r["fresh"]) for r in window)
+        # A fresh compile that STARTS inside the window but doesn't finish
+        # there is invisible to the per-round counters (r5: a 74 tok/s
+        # window reported fresh=0 because its one giant compile never
+        # completed in it) — flag windows whose completed rounds cover
+        # less than half the wall time.
+        covered = sum(r["round_s"] for r in window)
+        if not tiny and covered < 0.5 * 25.0:
+            out["degraded"] = True
+            out.setdefault("degraded_why", []).append(
+                f"saturated window mostly idle (rounds cover "
+                f"{covered:.1f}s of 25s — in-flight compile or stall)")
         if window:
             med = float(np.median([r["round_s"] for r in window]))
             n_out = sum(1 for r in window
