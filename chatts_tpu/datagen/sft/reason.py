@@ -334,7 +334,7 @@ Looking at the time series data, the system shows a concerning degradation patte
 """
 
 REQUIREMENTS_BLOCK = """
-Now, create new, diverse reasoning questions about the given time series. The questions must be self-contained, set in a realistic scenario, and provide all necessary definitions for the user to make a judgment.
+Write fresh, varied reasoning questions grounded in the series above. Each question has to stand on its own: embed a believable scenario and spell out every definition the reader needs to reach a judgment without outside context.
 
 **Key Requirements:**
 1. **Question Diversity**: Mix question formats and expressions — some terse and informal, some detailed with explicit answer-format demands.
