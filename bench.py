@@ -182,6 +182,42 @@ def _emit(res: dict) -> None:
     print("MILESTONE " + json.dumps(res), flush=True)
 
 
+class _progress_beat:
+    """Heartbeat for long SILENT phases (engine.warmup, the cold-cache
+    workload ladder): while the wrapped call runs, re-emit `res` whenever
+    the engine has completed NEW rounds since the last check.  The
+    orchestrator's stall detector counts any MILESTONE line as liveness,
+    so a cold warmup that legitimately exceeds stall_s keeps its worker
+    alive exactly as long as rounds keep completing — a wedged chip stops
+    completing rounds, the beats stop, and the stall kill still fires
+    (q6c forensics: a healthy first worker was killed 600 s into a cold
+    cap-6144 warmup that the retry then finished in 245 s)."""
+
+    def __init__(self, engine, res: dict, interval_s: float = 20.0):
+        self._engine = engine
+        self._res = res
+        self._interval = interval_s
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        last_n = len(self._engine.round_snapshot())
+        while not self._stop.wait(self._interval):
+            n = len(self._engine.round_snapshot())
+            if n != last_n:
+                last_n = n
+                _emit(self._res)
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=5)
+        return False
+
+
 def _make_cfg(tiny: bool, flagship_14b: bool):
     from chatts_tpu.core.config import (
         ChatTSConfig,
@@ -473,8 +509,9 @@ def worker_8b():
     # phase-lite cohort (its own shapes compile inside the lite phase, and
     # hit the persistent cache on a warmed host).
     t0 = time.perf_counter()
-    engine.warmup(prefill_buckets=(512,), series_per_request=2,
-                  series_len=512)
+    with _progress_beat(engine, res):
+        engine.warmup(prefill_buckets=(512,), series_per_request=2,
+                      series_len=512)
     res["warmup_s"] = round(time.perf_counter() - t0, 1)
     log(f"warmup (monolithic + mixed shapes): {res['warmup_s']}s")
     checkpoint("warmup")
@@ -498,6 +535,8 @@ def worker_8b():
     # measured phases stay compile-free. -----------------------------------
     if ok:
         t0 = time.perf_counter()
+        beat = _progress_beat(engine, res)
+        beat.__enter__()
         pre = [mkreq() for _ in range(concurrency)]
         for r in pre:
             engine.submit(r)
@@ -536,6 +575,7 @@ def worker_8b():
                 log("workload warmup timed out")
                 break
             time.sleep(0.05)
+        beat.__exit__()
         errs = [r.error for r in pre + extra if r.error]
         if errs:
             log(f"workload warmup errors: {errs[:3]}")
@@ -811,8 +851,9 @@ def worker_14b():
     mkreq = _request_factory(rng, _bench_prompt())
 
     t0 = time.perf_counter()
-    engine.warmup(prefill_buckets=(512,), series_per_request=2,
-                  series_len=512)
+    with _progress_beat(engine, out):
+        engine.warmup(prefill_buckets=(512,), series_per_request=2,
+                      series_len=512)
     out["warmup_s"] = round(time.perf_counter() - t0, 1)
     log(f"[14B] engine warmup: {out['warmup_s']}s; "
         f"budget left {rem():.0f}s")
@@ -853,6 +894,8 @@ def worker_14b():
     t0 = time.perf_counter()
     did_ladder = tiny or rem() > 420
     if did_ladder:
+        beat14 = _progress_beat(engine, out)
+        beat14.__enter__()
         pre = [mkreq() for _ in range(concurrency)]
         for r in pre:
             engine.submit(r)
@@ -884,6 +927,7 @@ def worker_14b():
                 log("[14B] warmup timed out")
                 break
             time.sleep(0.05)
+        beat14.__exit__()
         log(f"[14B] workload warmup: {time.perf_counter() - t0:.1f}s; "
             f"errors: {[r.error for r in pre + extra if r.error][:2]}")
         _emit(out)
